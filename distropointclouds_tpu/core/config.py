@@ -1,0 +1,265 @@
+"""Unified, frozen configuration tree for the whole framework.
+
+The reference scatters configuration over five uncoordinated mechanisms
+(class statics in `scaner_version2.py:28-47`, `CFG` classes in
+`tiny_sc_ped.py:20-35` / `train_sc_ped.py:41-63`, argparse+EasyDict in
+`config/train_config.py`, a dict literal in `tiny_sc_pred_v2.py:417-424`,
+and ROS parameters in `scan_context_node.py:196-207`) with *conflicting*
+defaults (max_length 20 vs 80, downsampling on vs off, full-height-range
+on vs off).
+
+Here everything is a frozen (hashable) dataclass so configs can be passed
+as `jax.jit` static arguments, and the reference's conflicting defaults
+are captured as named *profiles*:
+
+- ``golden_v2``  — `scaner_version2.py:28-47,64-115`: the semantics that
+  produced the golden `test_data/sc_*.npy` fixtures. max_length=20,
+  full-height-range, zero-substitution, clamp edge policy, no downsample.
+- ``ros_node``   — `scan_context_node.py:102-157,196-207`: max_length=80,
+  hard range rejection (drop), floor+clip indexing, 0.20 m voxel
+  downsample before binning.
+- ``scaner_v1``  — `distro_model/data_process/scaner.py:20-37`:
+  max_length=80, +2.0 height offset instead of full range, downsampling
+  always on.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Optional, Tuple
+
+
+class EdgePolicy(enum.Enum):
+    """How points beyond ``max_length`` are treated.
+
+    CLAMP: out-of-range points land in the outermost ring
+      (`scaner_version2.py:93` uses ``min(r // gap_ring, num_ring-1)``).
+    DROP: out-of-range points are discarded
+      (`scan_context_node.py:134-137` filters ``r <= max_length``).
+    """
+
+    CLAMP = "clamp"
+    DROP = "drop"
+
+
+@dataclasses.dataclass(frozen=True)
+class ScanContextConfig:
+    """Parameters of the polar ring x sector max-height descriptor.
+
+    Mirrors the parameter surface of `scaner_version2.py:28-47` and the
+    12 ROS parameters of `scan_context_node.py:196-207`.
+    """
+
+    num_ring: int = 160
+    num_sector: int = 720
+    max_length: float = 20.0
+    edge_policy: EdgePolicy = EdgePolicy.CLAMP
+    # Height processing (scaner_version2.py:36-37,77-82)
+    use_full_height_range: bool = True
+    height_offset: float = 2.0  # used only when use_full_height_range=False
+    # x==0 -> 0.001 substitution applied before polar conversion
+    # (scaner_version2.py:85-86); the ROS node variant does NOT do this.
+    zero_substitution: bool = True
+    # Voxel downsample size in meters; 0 disables
+    # (scan_context_node.py:93-100, scaner.py:108-134).
+    voxel_size: float = 0.0
+    # Fixed-size point buffer: TPU programs need static shapes. Scans are
+    # padded/truncated to this many points (max observed in the bundled
+    # KITTI scans is 125,601; see SURVEY §7 step 1).
+    max_points: int = 131072
+
+    @property
+    def gap_ring(self) -> float:
+        return self.max_length / self.num_ring
+
+    @property
+    def gap_sector(self) -> float:
+        return 360.0 / self.num_sector
+
+    @property
+    def grid_shape(self) -> Tuple[int, int]:
+        return (self.num_ring, self.num_sector)
+
+    # ---- reference profiles -------------------------------------------------
+
+    @staticmethod
+    def golden_v2() -> "ScanContextConfig":
+        """Semantics of the golden fixtures (scaner_version2.py)."""
+        return ScanContextConfig()
+
+    @staticmethod
+    def ros_node() -> "ScanContextConfig":
+        """Semantics of the live ROS node (scan_context_node.py)."""
+        return ScanContextConfig(
+            max_length=80.0,
+            edge_policy=EdgePolicy.DROP,
+            zero_substitution=False,
+            voxel_size=0.20,
+        )
+
+    @staticmethod
+    def scaner_v1() -> "ScanContextConfig":
+        """Semantics of the legacy generator (distro_model/.../scaner.py)."""
+        return ScanContextConfig(
+            max_length=80.0,
+            edge_policy=EdgePolicy.CLAMP,
+            use_full_height_range=False,
+            height_offset=2.0,
+            zero_substitution=True,
+            voxel_size=0.20,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class DetectorConfig:
+    """Post-processing / detection parameters.
+
+    Collects the thresholds of all three reference inference paths:
+    - TinyCNN components: thr=0.5, min 20 px (`tiny_sc_ped.py:196-234`)
+    - TinyUNet peaks: NMS k=7, thr=0.35 eval / 0.4 default, topk=200
+      (`train_sc_ped.py:291-309,436`)
+    - ScanContextUNet ring-banded thresholds 0.5/0.4/0.3 for rings
+      <60 / 60-120 / >=120 (`tiny_sc_pred_v2.py:697-700`).
+    """
+
+    mask_threshold: float = 0.5
+    min_component_pixels: int = 20
+    peak_nms_kernel: int = 7
+    peak_threshold: float = 0.4
+    peak_topk: int = 200
+    # Greedy wrap-aware center matching (train_sc_ped.py:312-340)
+    match_max_ring_dist: int = 3
+    match_max_sector_dist: int = 6
+    # Ring-banded thresholds (tiny_sc_pred_v2.py:339-349,697-700)
+    band_edges: Tuple[int, ...] = (60, 120)
+    band_thresholds: Tuple[float, ...] = (0.5, 0.4, 0.3)
+    # Connected-components: max label-propagation sweeps on device
+    cc_max_iters: int = 64
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """TPU device-mesh layout.
+
+    The reference's entire distributed footprint is a never-enabled
+    `DistributedSampler` flag (`kitti_dataloader.py:41-42`,
+    `train_config.py:88`). Here data parallelism is first-class: batch is
+    sharded over the ``data`` axis, and the descriptor grid / model
+    activations may additionally be sharded over the ``sector`` axis
+    (the polar analog of sequence parallelism, SURVEY §2.4).
+    """
+
+    data: int = 1
+    sector: int = 1
+
+    @property
+    def axis_names(self) -> Tuple[str, str]:
+        return ("data", "sector")
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training hyperparameters, superset of the three reference trainers.
+
+    Defaults follow trainer B (`train_sc_ped.py:41-63`), the only trainer
+    with a CLI. Trainer A's values (`tiny_sc_ped.py:20-35`) and trainer
+    C's (`tiny_sc_pred_v2.py:417-424,483-499`) are available via the
+    factory methods.
+    """
+
+    model: str = "tiny_unet"  # tiny_cnn | tiny_unet | sc_unet
+    height: int = 160
+    width: int = 720
+    batch_size: int = 16
+    epochs: int = 30
+    lr: float = 2e-3
+    weight_decay: float = 1e-4
+    seed: int = 1337
+    # Normalization mode: "clip" (clip +-clip_abs_z then /clip_abs_z,
+    # train_sc_ped.py:160) or "minmax" ([min,max]->[0,1],
+    # tiny_sc_ped.py:54-60, tiny_sc_pred_v2.py:46-50).
+    normalize: str = "clip"
+    clip_abs_z: float = 3.0
+    # Heatmap target (train_sc_ped.py:45,166-173)
+    heat_sigma: float = 1.8
+    # Losses
+    focal_alpha: float = 0.75
+    focal_gamma: float = 2.0
+    pos_weight: float = 2.0       # trainer A BCE pos_weight
+    use_dice: bool = False
+    hm_loss_w: float = 1.0
+    mask_loss_w: float = 0.0
+    # Augmentation
+    roll_aug: bool = True
+    roll_max: int = 0             # 0 = full-width roll (trainer B), else +-roll_max
+    ring_jitter: int = 0
+    mask_dropout: float = 0.0     # trainer A aug_dropout_prob
+    # Splits
+    val_split: float = 0.15
+    test_split: float = 0.10
+    # Optimizer schedule (trainer C: cosine warm restarts T0=10 Tmult=2)
+    scheduler: str = "none"       # none | cosine_restarts
+    scheduler_t0: int = 10
+    scheduler_t_mult: int = 2
+    encoder_lr_scale: float = 1.0  # trainer C: encoder lr x0.5
+    grad_clip: float = 0.0         # trainer C: 1.0
+    early_stop_patience: int = 0   # trainer C: 10
+    # Precision: params/accum always f32; compute dtype for the model
+    compute_dtype: str = "float32"  # or "bfloat16"
+    # Duplicate-pedestrian behavior (SURVEY §2.3 quirk register #2)
+    dedupe_pedestrians: bool = False
+    ckpt_dir: str = "checkpoints"
+
+    @staticmethod
+    def trainer_a() -> "TrainConfig":
+        """tiny_sc_ped.py:20-35 (TinyCNN segmentation)."""
+        return TrainConfig(
+            model="tiny_cnn",
+            batch_size=8,
+            epochs=30,
+            lr=1e-3,
+            weight_decay=0.0,
+            normalize="minmax",
+            pos_weight=2.0,
+            use_dice=True,
+            roll_max=32,
+            mask_dropout=0.05,
+            val_split=0.2,
+            test_split=0.0,
+        )
+
+    @staticmethod
+    def trainer_b() -> "TrainConfig":
+        """train_sc_ped.py:41-63 (TinyUNet heatmap)."""
+        return TrainConfig()
+
+    @staticmethod
+    def trainer_c() -> "TrainConfig":
+        """tiny_sc_pred_v2.py:417-424,483-499 (ScanContextUNet)."""
+        return TrainConfig(
+            model="sc_unet",
+            batch_size=16,
+            epochs=50,
+            lr=1e-3,
+            weight_decay=1e-4,
+            normalize="minmax",
+            focal_alpha=0.25,
+            focal_gamma=2.0,
+            scheduler="cosine_restarts",
+            encoder_lr_scale=0.5,
+            grad_clip=1.0,
+            early_stop_patience=10,
+            val_split=0.15,
+            test_split=0.15,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """End-to-end scan -> descriptor -> detection pipeline configuration."""
+
+    scan_context: ScanContextConfig = ScanContextConfig()
+    detector: DetectorConfig = DetectorConfig()
+    mesh: MeshConfig = MeshConfig()
+    normalize: str = "minmax"

@@ -1,0 +1,216 @@
+"""Scan-context descriptor: polar ring x sector max-height binning.
+
+This is the framework's inner-loop kernel. The reference computes it four
+times in slightly different ways (SURVEY §2.2); the variant that produced
+the golden fixtures is `scaner_version2.py:64-115` (clamp edge policy,
+x/y==0 -> 0.001 substitution, float32 polar math, scatter-max of z,
+empty cells -> 0). The ROS-node variant (`scan_context_node.py:102-157`)
+filters ``r <= max_length`` instead of clamping. Both are supported via
+:class:`~distropointclouds_tpu.core.config.EdgePolicy`.
+
+TPU-native design
+-----------------
+TPUs have no scatter atomics, and XLA lowers random scatters to slow
+sequential updates. The production path here is therefore **scatter-free**
+(``impl="sort"``):
+
+1. Each point is mapped to a flat cell id ``ring * S + sector``; padded /
+   dropped points get a sentinel id beyond the grid.
+2. A *marker* element (one per grid cell, carrying the empty-cell fill
+   value) is appended, so every cell is guaranteed to own at least one
+   element.
+3. One lexicographic ``lax.sort`` by ``(cell, z)`` groups each cell's
+   elements together with the **maximum z last** in each run.
+4. Run ends are located by comparing adjacent cell ids; a second stable
+   binary-key sort partitions the run-end elements to the front **in cell
+   order** (stability preserves the ascending cell order), so the first
+   ``R*S`` values *are* the flattened descriptor.
+
+Everything is dense, vectorized, fully vmappable, and maps onto the
+TPU's vector units; no scatter, no gather. A ``jnp`` scatter baseline
+(``impl="scatter"``) is kept for cross-checking and benchmarking.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import EdgePolicy, ScanContextConfig
+from ..core.types import PointBatch
+
+
+def polar_bin_indices(
+    xyz: jax.Array,
+    valid: jax.Array,
+    cfg: ScanContextConfig,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Map points to (ring, sector) bins with the configured edge policy.
+
+    Args:
+      xyz: [N, 3] float32 points.
+      valid: [N] bool, False for padding.
+      cfg: descriptor parameters.
+
+    Returns:
+      (ring, sector, z, valid): int32 bin indices, the height value to
+      bin (with any height offset applied), and the possibly-narrowed
+      validity mask (DROP policy removes out-of-range points).
+
+    Follows `scaner_version2.py:74-94` for CLAMP and
+    `scan_context_node.py:110-145` for DROP. All polar math is float32 to
+    match the reference's (float32 array) // (python float) semantics.
+    """
+    x = xyz[..., 0]
+    y = xyz[..., 1]
+    z = xyz[..., 2]
+
+    if cfg.zero_substitution:
+        # scaner_version2.py:85-86 — avoid atan2(0, 0).
+        x = jnp.where(x == 0, jnp.float32(0.001), x)
+        y = jnp.where(y == 0, jnp.float32(0.001), y)
+
+    if not cfg.use_full_height_range:
+        z = z + jnp.float32(cfg.height_offset)
+
+    theta = jnp.rad2deg(jnp.arctan2(y, x)) % jnp.float32(360.0)
+    r = jnp.sqrt(x * x + y * y)
+
+    gap_ring = jnp.float32(cfg.gap_ring)
+    gap_sector = jnp.float32(cfg.gap_sector)
+
+    if cfg.edge_policy == EdgePolicy.CLAMP:
+        # scaner_version2.py:93 — out-of-range points clamp into the
+        # outermost ring.
+        ring = jnp.minimum(r // gap_ring, cfg.num_ring - 1).astype(jnp.int32)
+        sector = (theta // gap_sector).astype(jnp.int32)
+    else:
+        # scan_context_node.py:134-145 — reject r > max_length, then
+        # floor + clip both indices.
+        valid = valid & (r <= jnp.float32(cfg.max_length))
+        ring = jnp.floor(r / gap_ring).astype(jnp.int32)
+        sector = jnp.floor(theta / gap_sector).astype(jnp.int32)
+        ring = jnp.clip(ring, 0, cfg.num_ring - 1)
+
+    # theta < 360 strictly, but float32 rounding can still produce
+    # sector == num_sector (quirk register #9 in SURVEY §7); clip always.
+    sector = jnp.clip(sector, 0, cfg.num_sector - 1)
+    return ring, sector, z, valid
+
+
+def _finalize(grid: jax.Array, cfg: ScanContextConfig) -> jax.Array:
+    if cfg.use_full_height_range:
+        # Empty cells (-inf) -> 0 (scaner_version2.py:111-113).
+        grid = jnp.where(jnp.isneginf(grid), jnp.float32(0.0), grid)
+    return grid.astype(jnp.float32)
+
+
+def _empty_fill(cfg: ScanContextConfig) -> float:
+    # Full-height mode accumulates from -inf then replaces; offset mode
+    # accumulates from 0 (scaner_version2.py:96-102).
+    return -jnp.inf if cfg.use_full_height_range else 0.0
+
+
+def scan_context_scatter(
+    xyz: jax.Array,
+    valid: jax.Array,
+    cfg: ScanContextConfig,
+) -> jax.Array:
+    """Baseline: XLA ``scatter-max`` via ``.at[].max``. Correct everywhere
+    but slow on TPU (sequential scatter lowering); kept for verification
+    and benchmarking against the sort-based path."""
+    ring, sector, z, valid = polar_bin_indices(xyz, valid, cfg)
+    neg = jnp.float32(-jnp.inf)
+    z = jnp.where(valid, z, neg)
+    # Route invalid points out of bounds; mode="drop" discards them.
+    ring = jnp.where(valid, ring, cfg.num_ring)
+    init = jnp.full(cfg.grid_shape, jnp.float32(_empty_fill(cfg)))
+    grid = init.at[ring, sector].max(z, mode="drop")
+    return _finalize(grid, cfg)
+
+
+def scan_context_sorted(
+    xyz: jax.Array,
+    valid: jax.Array,
+    cfg: ScanContextConfig,
+) -> jax.Array:
+    """Production scatter-free path (see module docstring)."""
+    num_cells = cfg.num_ring * cfg.num_sector
+    ring, sector, z, valid = polar_bin_indices(xyz, valid, cfg)
+
+    neg = jnp.float32(-jnp.inf)
+    cell = ring * cfg.num_sector + sector
+    # Padded/dropped points -> sentinel cell beyond every marker.
+    cell = jnp.where(valid, cell, num_cells)
+    z = jnp.where(valid, z, neg)
+
+    # One marker element per cell carrying the empty fill value. Markers
+    # sort to the *front* of their run (fill <= any accepted z), so a run
+    # end is a real point whenever one exists.
+    marker_cells = jnp.arange(num_cells, dtype=jnp.int32)
+    marker_z = jnp.full((num_cells,), jnp.float32(_empty_fill(cfg)))
+
+    all_cells = jnp.concatenate([cell, marker_cells])
+    all_z = jnp.concatenate([z, marker_z])
+
+    # Lexicographic sort by (cell asc, z asc): per-cell max lands at the
+    # run end.
+    s_cells, s_z = jax.lax.sort((all_cells, all_z), num_keys=2)
+
+    # Run ends: cell id changes at the next position (last element is
+    # always a run end).
+    nxt = jnp.concatenate([s_cells[1:], jnp.full((1,), jnp.int32(-1))])
+    run_end = s_cells != nxt
+
+    # Stable partition: run-end elements to the front, preserving their
+    # ascending-cell order. The first `num_cells` values are the grid.
+    not_end = jnp.logical_not(run_end).astype(jnp.int32)
+    _, grid_flat = jax.lax.sort((not_end, s_z), num_keys=1, is_stable=True)
+    grid = grid_flat[:num_cells].reshape(cfg.grid_shape)
+    return _finalize(grid, cfg)
+
+
+def scan_context(
+    points: PointBatch | jax.Array,
+    cfg: ScanContextConfig = ScanContextConfig(),
+    impl: str = "sort",
+) -> jax.Array:
+    """Compute the scan-context descriptor for one scan or a batch.
+
+    Args:
+      points: a :class:`PointBatch` (possibly batched) or a raw
+        [N, 3|4] array (treated as fully valid).
+      cfg: descriptor configuration (static for jit).
+      impl: "sort" (default, scatter-free) or "scatter" (XLA baseline).
+
+    Returns:
+      [..., num_ring, num_sector] float32 descriptor grid(s).
+    """
+    if isinstance(points, PointBatch):
+        xyz = points.xyzi[..., :3]
+        valid = points.valid_mask()
+    else:
+        xyz = jnp.asarray(points)[..., :3]
+        valid = jnp.ones(xyz.shape[:-1], dtype=bool)
+
+    fn = scan_context_sorted if impl == "sort" else scan_context_scatter
+    if xyz.ndim == 2:
+        return fn(xyz, valid, cfg)
+    # vmap over leading batch dims.
+    batch_shape = xyz.shape[:-2]
+    flat_xyz = xyz.reshape((-1,) + xyz.shape[-2:])
+    flat_valid = valid.reshape((-1,) + valid.shape[-1:])
+    out = jax.vmap(lambda p, v: fn(p, v, cfg))(flat_xyz, flat_valid)
+    return out.reshape(batch_shape + cfg.grid_shape)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "impl"))
+def scan_context_jit(
+    points: PointBatch,
+    cfg: ScanContextConfig = ScanContextConfig(),
+    impl: str = "sort",
+) -> jax.Array:
+    return scan_context(points, cfg, impl)

@@ -1,0 +1,185 @@
+"""Descriptor kernel tests: golden parity + cross-implementation checks.
+
+Acceptance criterion (SURVEY §2.2, *verified* during the survey): exact
+equality with the golden ``sc_*.npy`` except bin-boundary cells — at most
+a handful of cells per scan whose point sits exactly on a ring/sector
+edge under float32 casting rules. We assert >= 115,190 / 115,200 cells
+bit-exact per scan and that every mismatching cell's value is explainable
+by a neighboring-bin point (the golden value appears in an adjacent cell
+of our grid or vice versa, or both cells changed by a tiny height).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from distropointclouds_tpu.core.config import EdgePolicy, ScanContextConfig
+from distropointclouds_tpu.core.types import PointBatch
+from distropointclouds_tpu.io import fixtures
+from distropointclouds_tpu.ops.scan_context import (
+    scan_context,
+    scan_context_scatter,
+    scan_context_sorted,
+)
+
+
+def numpy_reference_clamp(xyz, cfg: ScanContextConfig):
+    """Independent numpy model of scaner_version2.py:64-115 semantics."""
+    x = xyz[:, 0].astype(np.float32)
+    y = xyz[:, 1].astype(np.float32)
+    z = xyz[:, 2].astype(np.float32)
+    if cfg.zero_substitution:
+        x = np.where(x == 0, np.float32(0.001), x)
+        y = np.where(y == 0, np.float32(0.001), y)
+    if not cfg.use_full_height_range:
+        z = z + np.float32(cfg.height_offset)
+    theta = np.rad2deg(np.arctan2(y, x)) % np.float32(360.0)
+    r = np.sqrt(x * x + y * y)
+    ring = np.minimum(r // np.float32(cfg.gap_ring), cfg.num_ring - 1).astype(np.int32)
+    sector = (theta // np.float32(cfg.gap_sector)).astype(np.int32)
+    sector = np.clip(sector, 0, cfg.num_sector - 1)
+    fill = -np.inf if cfg.use_full_height_range else 0.0
+    sc = np.full(cfg.grid_shape, fill, dtype=np.float32)
+    np.maximum.at(sc, (ring, sector), z)
+    if cfg.use_full_height_range:
+        sc = np.where(np.isneginf(sc), 0.0, sc).astype(np.float32)
+    return sc
+
+
+def mismatch_is_boundary_explainable(ours, golden, rr, ss, cfg):
+    """A differing cell is a bin-boundary artifact if the missing value
+    shows up in one of the 4 adjacent bins of the other grid."""
+    R, S = cfg.grid_shape
+    neighbors = [
+        (min(rr + 1, R - 1), ss),
+        (max(rr - 1, 0), ss),
+        (rr, (ss + 1) % S),
+        (rr, (ss - 1) % S),
+    ]
+    gv, ov = golden[rr, ss], ours[rr, ss]
+    for nr, nc in neighbors:
+        if ours[nr, nc] == gv or golden[nr, nc] == ov:
+            return True
+    # Or the same cell only moved by the height of one straddling point.
+    return abs(gv - ov) < 0.05
+
+
+@pytest.mark.parametrize("scan_id", fixtures.GOLDEN_IDS)
+@pytest.mark.parametrize("impl", ["sort", "scatter"])
+def test_golden_parity(reference_available, scan_id, impl):
+    cfg = ScanContextConfig.golden_v2()
+    raw = fixtures.golden_scan(scan_id)
+    golden = fixtures.golden_descriptor(scan_id)
+    pb = PointBatch.from_numpy(raw, cfg.max_points)
+    ours = np.asarray(scan_context(pb, cfg, impl=impl))
+
+    assert ours.shape == golden.shape == (160, 720)
+    mismatch = ours != golden
+    n_bad = int(mismatch.sum())
+    # Survey-verified tolerance: <= 3 boundary cells/scan for the numpy
+    # recompute; allow headroom for jnp-vs-numpy float32 ulp differences.
+    assert n_bad <= 10, f"{scan_id}: {n_bad} mismatching cells"
+    for rr, ss in zip(*np.nonzero(mismatch)):
+        assert mismatch_is_boundary_explainable(ours, golden, rr, ss, cfg), (
+            f"{scan_id}: unexplained mismatch at ({rr},{ss}): "
+            f"ours={ours[rr, ss]} golden={golden[rr, ss]}"
+        )
+
+
+@pytest.mark.parametrize(
+    "profile",
+    [
+        ScanContextConfig.golden_v2(),
+        ScanContextConfig.ros_node(),
+        ScanContextConfig.scaner_v1(),
+    ],
+    ids=["golden_v2", "ros_node", "scaner_v1"],
+)
+def test_sort_equals_scatter_random(rng, profile):
+    """The scatter-free path must agree exactly with the XLA scatter
+    baseline on random clouds under every profile."""
+    n = 4096
+    xyz = rng.uniform(-30, 30, size=(n, 3)).astype(np.float32)
+    xyz[:, 2] = rng.uniform(-3, 5, size=n).astype(np.float32)
+    # Sprinkle exact zeros to exercise the substitution path.
+    xyz[:64, 0] = 0.0
+    xyz[64:128, 1] = 0.0
+    valid = np.arange(n) < (n - 512)  # include padding
+    a = np.asarray(scan_context_sorted(jnp.asarray(xyz), jnp.asarray(valid), profile))
+    b = np.asarray(scan_context_scatter(jnp.asarray(xyz), jnp.asarray(valid), profile))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_matches_numpy_model_random(rng):
+    cfg = ScanContextConfig.golden_v2()
+    n = 8192
+    xyz = rng.uniform(-25, 25, size=(n, 3)).astype(np.float32)
+    expected = numpy_reference_clamp(xyz, cfg)
+    got = np.asarray(
+        scan_context_sorted(jnp.asarray(xyz), jnp.ones(n, dtype=bool), cfg)
+    )
+    # float32 polar math matches numpy's except possible ulp boundary
+    # flips; on random (continuous) data those have probability ~0.
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_empty_cloud_is_zero_grid():
+    """scan_context_node.py:107-108: empty input -> zeros(R, S)."""
+    cfg = ScanContextConfig.golden_v2()
+    pb = PointBatch.from_numpy(np.zeros((0, 4), np.float32), 1024)
+    out = np.asarray(scan_context(pb, cfg))
+    assert out.shape == (160, 720)
+    np.testing.assert_array_equal(out, np.zeros((160, 720), np.float32))
+
+
+def test_single_point():
+    cfg = ScanContextConfig.golden_v2()
+    pt = np.array([[1.0, 1.0, -1.5, 0.0]], np.float32)
+    pb = PointBatch.from_numpy(pt, 16)
+    out = np.array(scan_context(pb, cfg))
+    r = np.sqrt(2.0)
+    ring = int(min(np.float32(r) // np.float32(cfg.gap_ring), 159))
+    sector = int(np.float32(45.0) // np.float32(cfg.gap_sector))
+    assert out[ring, sector] == np.float32(-1.5)
+    out[ring, sector] = 0
+    np.testing.assert_array_equal(out, np.zeros_like(out))
+
+
+def test_clamp_puts_far_points_in_outer_ring():
+    cfg = ScanContextConfig.golden_v2()
+    pt = np.array([[100.0, 0.0, 2.0, 0.0]], np.float32)  # r = 100 >> 20
+    out = np.asarray(scan_context(PointBatch.from_numpy(pt, 16), cfg))
+    assert out[159].max() == np.float32(2.0)
+
+
+def test_drop_rejects_far_points():
+    cfg = ScanContextConfig.ros_node()
+    pt = np.array([[100.0, 0.0, 2.0, 0.0]], np.float32)  # r = 100 > 80
+    out = np.asarray(scan_context(PointBatch.from_numpy(pt, 16), cfg))
+    np.testing.assert_array_equal(out, np.zeros_like(out))
+
+
+def test_batched_vmap(reference_available):
+    cfg = ScanContextConfig.golden_v2()
+    pbs = [
+        PointBatch.from_numpy(fixtures.golden_scan(s), cfg.max_points)
+        for s in fixtures.GOLDEN_IDS[:2]
+    ]
+    batch = PointBatch.stack(pbs)
+    grids = np.asarray(scan_context(batch, cfg))
+    assert grids.shape == (2, 160, 720)
+    for i, s in enumerate(fixtures.GOLDEN_IDS[:2]):
+        single = np.asarray(scan_context(pbs[i], cfg))
+        np.testing.assert_array_equal(grids[i], single)
+
+
+def test_duplicate_points_in_same_cell():
+    cfg = ScanContextConfig.golden_v2()
+    pts = np.array(
+        [[5.0, 5.0, z, 0.0] for z in [-2.0, 3.0, 0.5, 3.0, -10.0]], np.float32
+    )
+    out = np.asarray(scan_context(PointBatch.from_numpy(pts, 16), cfg))
+    assert out.max() == np.float32(3.0)
+    assert (out != 0).sum() == 1
