@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""End-to-end throughput benchmark on real hardware.
+
+Measures the BASELINE.json north-star metric: scans/sec/chip for the
+full pipeline (padded points -> scan-context descriptor -> TinyCNN ->
+sigmoid -> threshold mask -> connected-component detections), with
+descriptor parity against the golden ``sc_*.npy`` asserted before
+timing.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "scans/sec/chip", "vs_baseline": N}
+
+vs_baseline is measured against the reference's fastest CPU descriptor
+path (~85 scans/s, SURVEY §6 — the reference publishes no numbers, and
+its descriptor alone is slower than our full pipeline).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# Use whatever accelerator the environment provides (the driver tunnels a
+# real TPU chip); fall back to CPU only if nothing else exists.
+import jax
+import jax.numpy as jnp
+
+
+REFERENCE_CPU_DESCRIPTOR_SCANS_PER_SEC = 85.0  # SURVEY §6, measured
+BATCH = int(os.environ.get("DPC_BENCH_BATCH", "16"))
+WARMUP = 3
+ITERS = int(os.environ.get("DPC_BENCH_ITERS", "20"))
+
+
+def main():
+    from distropointclouds_tpu.core.config import PipelineConfig
+    from distropointclouds_tpu.core.types import PointBatch
+    from distropointclouds_tpu.io import fixtures
+    from distropointclouds_tpu.pipeline import shipped_tinycnn_pipeline
+
+    cfg = PipelineConfig()
+    fn, variables = shipped_tinycnn_pipeline(cfg)
+
+    # Build a batch from the golden scans (repeated to BATCH).
+    ids = fixtures.GOLDEN_IDS
+    pbs = [
+        PointBatch.from_numpy(fixtures.golden_scan(s), cfg.scan_context.max_points)
+        for s in ids
+    ]
+    batch = PointBatch.stack([pbs[i % len(pbs)] for i in range(BATCH)])
+    batch = jax.device_put(batch)
+
+    # Parity gate before timing.
+    out = jax.block_until_ready(fn(variables, batch))
+    for i in range(min(BATCH, len(ids))):
+        golden = fixtures.golden_descriptor(ids[i])
+        bad = int((np.asarray(out["descriptor"][i]) != golden).sum())
+        assert bad <= 10, f"descriptor parity broken on {ids[i]}: {bad} cells"
+        assert float(out["probs"][i].max()) < 0.08  # shipped-ckpt logits sane
+
+    for _ in range(WARMUP):
+        jax.block_until_ready(fn(variables, batch))
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        jax.block_until_ready(fn(variables, batch))
+    dt = time.perf_counter() - t0
+
+    scans_per_sec = BATCH * ITERS / dt
+    print(
+        json.dumps(
+            {
+                "metric": "scans/sec/chip end-to-end (decode->SC->TinyCNN->detect), descriptor parity vs sc_*.npy verified",
+                "value": round(scans_per_sec, 1),
+                "unit": "scans/sec/chip",
+                "vs_baseline": round(
+                    scans_per_sec / REFERENCE_CPU_DESCRIPTOR_SCANS_PER_SEC, 2
+                ),
+                "batch": BATCH,
+                "device": str(jax.devices()[0]),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,201 @@
+"""Detection post-processing: peak NMS, connected components, thresholds.
+
+TPU-native equivalents of the reference's three inference paths:
+- ``extract_peaks``: max-pool NMS + threshold + top-k
+  (`train_sc_ped.py:291-309`) — a ``reduce_window`` max, an equality
+  mask, and one ``top_k``; fully jittable with fixed output capacity.
+- ``connected_components`` + ``components_to_detections``: replaces
+  `scipy.ndimage.label` + per-component centroid loops
+  (`tiny_sc_ped.py:196-215`). Labeling is iterative min-label
+  propagation (4-connectivity, like ndimage's default structure)
+  accelerated with pointer jumping, so convergence is
+  O(log(diameter)) sweeps; component statistics are extracted with the
+  same sort-based, scatter-free reduction used by the descriptor
+  kernel.
+- ``banded_threshold``: ring-banded probability thresholds
+  (`tiny_sc_pred_v2.py:339-349,697-700`).
+
+Everything returns fixed-capacity :class:`Detections` so the whole
+scan -> descriptor -> CNN -> detections program stays one XLA
+compilation.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import DetectorConfig
+from ..core.types import Detections
+
+
+def peak_nms_mask(
+    heat: jnp.ndarray, kernel: int = 7, threshold: float = 0.4
+) -> jnp.ndarray:
+    """Boolean local-maximum mask: heat == maxpool(heat, k) and >= thr
+    (train_sc_ped.py:298-300). heat: [..., H, W]."""
+    pooled = jax.lax.reduce_window(
+        heat,
+        -jnp.inf,
+        jax.lax.max,
+        window_dimensions=(1,) * (heat.ndim - 2) + (kernel, kernel),
+        window_strides=(1,) * heat.ndim,
+        padding=[(0, 0)] * (heat.ndim - 2) + [(kernel // 2, kernel // 2)] * 2,
+    )
+    return (heat == pooled) & (heat >= threshold)
+
+
+def extract_peaks(
+    heat: jnp.ndarray,
+    cfg: DetectorConfig = DetectorConfig(),
+    threshold: float | None = None,
+) -> Detections:
+    """Top-k local maxima of a heatmap as fixed-capacity detections.
+
+    Matches `train_sc_ped.py:291-309`: NMS kernel ``cfg.peak_nms_kernel``,
+    threshold (default ``cfg.peak_threshold``), capacity
+    ``cfg.peak_topk``, scores sorted descending.
+    """
+    thr = cfg.peak_threshold if threshold is None else threshold
+    H, W = heat.shape[-2:]
+    keep = peak_nms_mask(heat, cfg.peak_nms_kernel, thr)
+    scores = jnp.where(keep, heat, -jnp.inf).reshape(heat.shape[:-2] + (H * W,))
+    k = min(cfg.peak_topk, H * W)
+    top, idx = jax.lax.top_k(scores, k)
+    valid = jnp.isfinite(top)
+    ring = (idx // W).astype(jnp.float32)
+    sector = (idx % W).astype(jnp.float32)
+    return Detections(
+        ring=jnp.where(valid, ring, 0.0),
+        sector=jnp.where(valid, sector, 0.0),
+        score=jnp.where(valid, top, 0.0),
+        valid=valid,
+    )
+
+
+def connected_components(
+    mask: jnp.ndarray, max_iters: int = 64
+) -> jnp.ndarray:
+    """Label 4-connected components of a boolean [H, W] mask.
+
+    Returns int32 [H, W]: for foreground pixels, the flat index of the
+    component's minimum pixel (a stable component id); background = -1.
+
+    Each iteration is one 4-neighbor min sweep followed by one pointer
+    jump (label <- label[label]); the loop runs to fixpoint with
+    ``max_iters`` as a safety bound (pointer jumping makes convergence
+    roughly logarithmic in the component diameter).
+    """
+    H, W = mask.shape
+    INF = jnp.int32(H * W)
+    flat = jnp.arange(H * W, dtype=jnp.int32).reshape(H, W)
+    label = jnp.where(mask, flat, INF)
+
+    def neighbor_min(lab):
+        big = jnp.full_like(lab, INF)
+        up = jnp.concatenate([lab[1:], big[:1]], axis=0)
+        down = jnp.concatenate([big[:1], lab[:-1]], axis=0)
+        left = jnp.concatenate([lab[:, 1:], big[:, :1]], axis=1)
+        right = jnp.concatenate([big[:, :1], lab[:, :-1]], axis=1)
+        m = jnp.minimum(jnp.minimum(up, down), jnp.minimum(left, right))
+        return jnp.where(mask, jnp.minimum(lab, m), INF)
+
+    def step(lab):
+        lab = neighbor_min(lab)
+        # Pointer jump: adopt the label of the pixel our label points to.
+        jumped = lab.reshape(-1)[jnp.clip(lab, 0, H * W - 1).reshape(-1)]
+        jumped = jumped.reshape(H, W)
+        return jnp.where(mask, jnp.minimum(lab, jumped), INF)
+
+    def cond(state):
+        i, lab, changed = state
+        return changed & (i < max_iters)
+
+    def body(state):
+        i, lab, _ = state
+        new = step(lab)
+        return i + 1, new, jnp.any(new != lab)
+
+    # Run to fixpoint (pointer jumping converges in O(log diameter)
+    # sweeps; max_iters is a safety bound, not the expected count).
+    _, label, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), label, jnp.bool_(True))
+    )
+    return jnp.where(mask, label, -1)
+
+
+def components_to_detections(
+    mask: jnp.ndarray,
+    min_pixels: int = 20,
+    capacity: int = 64,
+    max_iters: int = 64,
+) -> Detections:
+    """Connected components -> centroid detections
+    (tiny_sc_ped.py:196-215): components smaller than ``min_pixels`` are
+    dropped; each detection carries the mean (ring, sector) of its
+    pixels and its area as the score. Fixed capacity, sorted by area
+    descending.
+
+    Component statistics use the sort-based segmented reduction: sort
+    pixels by component id, scan sums within runs, take run ends.
+    """
+    H, W = mask.shape
+    label = connected_components(mask, max_iters).reshape(-1)
+    rr = (jnp.arange(H * W, dtype=jnp.float32) // W)
+    ss = (jnp.arange(H * W, dtype=jnp.float32) % W)
+
+    key = jnp.where(label >= 0, label, H * W).astype(jnp.int32)
+    order_key, s_r, s_s = jax.lax.sort(
+        (key, rr, ss), num_keys=1, is_stable=False
+    )
+    # Segmented inclusive sums within equal-key runs via associative scan.
+    ones = jnp.where(order_key < H * W, 1.0, 0.0)
+
+    def combine(a, b):
+        ka, ca, ra, sa = a
+        kb, cb, rb, sb = b
+        same = ka == kb
+        return (
+            kb,
+            jnp.where(same, ca + cb, cb),
+            jnp.where(same, ra + rb, rb),
+            jnp.where(same, sa + sb, sb),
+        )
+
+    _, csum, rsum, ssum = jax.lax.associative_scan(
+        combine, (order_key, ones, s_r * ones, s_s * ones)
+    )
+    nxt = jnp.concatenate([order_key[1:], jnp.full((1,), jnp.int32(-1))])
+    run_end = (order_key != nxt) & (order_key < H * W)
+
+    area = jnp.where(run_end, csum, 0.0)
+    k = min(capacity, H * W)
+    top_area, idx = jax.lax.top_k(area, k)
+    valid = top_area >= min_pixels
+    cr = rsum[idx] / jnp.maximum(top_area, 1.0)
+    cs = ssum[idx] / jnp.maximum(top_area, 1.0)
+    return Detections(
+        ring=jnp.where(valid, cr, 0.0),
+        sector=jnp.where(valid, cs, 0.0),
+        score=jnp.where(valid, top_area, 0.0),
+        valid=valid,
+    )
+
+
+def banded_threshold(
+    probs: jnp.ndarray, cfg: DetectorConfig = DetectorConfig()
+) -> jnp.ndarray:
+    """Ring-banded binarization (tiny_sc_pred_v2.py:697-700): rings
+    < 60 use thr[0], 60..119 thr[1], >= 120 thr[2] (defaults
+    0.5 / 0.4 / 0.3). probs: [..., H, W]."""
+    H = probs.shape[-2]
+    rows = jnp.arange(H)
+    thr = jnp.full((H,), cfg.band_thresholds[-1], jnp.float32)
+    edges = (0,) + tuple(cfg.band_edges)
+    for i, lo in enumerate(edges[:-1]):
+        hi = edges[i + 1]
+        thr = jnp.where((rows >= lo) & (rows < hi), cfg.band_thresholds[i], thr)
+    return probs > thr[:, None]

@@ -1,0 +1,133 @@
+"""End-to-end jitted pipeline: raw points -> descriptor -> CNN -> detections.
+
+The reference runs this as separate Python stages across files
+(`scaner_version2.py` batch descriptor, `tiny_sc_ped.run_inference`
+model+components, `train_sc_ped.extract_peaks`); here the whole thing is
+ONE XLA program per scan batch — decode stays on host (a single
+``np.fromfile``), everything after `PointBatch` is fused by XLA, vmapped
+over the batch, and shardable over a device mesh (see parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .core.config import DetectorConfig, PipelineConfig, ScanContextConfig
+from .core.types import Detections, PointBatch
+from .models.layers import normalize_clip, normalize_minmax
+from .models.tiny_cnn import TinyCNN
+from .models.tiny_unet import TinyUNet
+from .models.sc_unet import ScanContextUNet
+from .ops.postprocess import (
+    banded_threshold,
+    components_to_detections,
+    extract_peaks,
+)
+from .ops.scan_context import scan_context
+
+MODELS = {
+    "tiny_cnn": TinyCNN,
+    "tiny_unet": TinyUNet,
+    "sc_unet": ScanContextUNet,
+}
+
+
+def normalize(grid: jnp.ndarray, mode: str, clip_abs: float = 3.0) -> jnp.ndarray:
+    if mode == "minmax":
+        return normalize_minmax(grid)
+    if mode == "clip":
+        return normalize_clip(grid, clip_abs)
+    if mode == "none":
+        return grid
+    raise ValueError(f"unknown normalization {mode!r}")
+
+
+def build_pipeline(
+    model_name: str = "tiny_cnn",
+    cfg: PipelineConfig = PipelineConfig(),
+    postprocess: str = "components",
+    model_kwargs: Optional[Dict[str, Any]] = None,
+) -> Callable:
+    """Build the jittable full-pipeline function.
+
+    Args:
+      model_name: tiny_cnn | tiny_unet | sc_unet.
+      postprocess:
+        - "components": sigmoid -> thr -> connected components
+          (tiny_sc_ped.py:217-234 semantics; default thr
+          ``cfg.detector.mask_threshold``)
+        - "peaks": sigmoid -> max-pool NMS peaks (train_sc_ped eval)
+        - "banded": sigmoid -> ring-banded thresholds -> components
+          (tiny_sc_pred_v2 inference)
+        - "none": return probabilities only.
+
+    Returns fn(variables, points: PointBatch) -> dict with
+    'descriptor' [B, R, S], 'probs' [B, R, S], 'detections' (absent for
+    "none"). Wrap with jax.jit yourself or use :func:`jit_pipeline`.
+    """
+    model = MODELS[model_name](**(model_kwargs or {}))
+    det = cfg.detector
+
+    def fn(variables, points: PointBatch):
+        grid = scan_context(points, cfg.scan_context)  # [B, R, S] or [R, S]
+        squeeze = grid.ndim == 2
+        if squeeze:
+            grid = grid[None]
+        x = normalize(grid, cfg.normalize)
+        logits = model.apply(variables, x[..., None], train=False)
+        if isinstance(logits, tuple):
+            logits = logits[0]
+        probs = jax.nn.sigmoid(logits[..., 0])
+        out = {"descriptor": grid, "probs": probs}
+        if postprocess == "components":
+            mask = probs > det.mask_threshold
+            out["detections"] = jax.vmap(
+                lambda m: components_to_detections(
+                    m, det.min_component_pixels, capacity=64,
+                    max_iters=det.cc_max_iters,
+                )
+            )(mask)
+        elif postprocess == "peaks":
+            out["detections"] = jax.vmap(lambda h: extract_peaks(h, det))(probs)
+        elif postprocess == "banded":
+            mask = banded_threshold(probs, det)
+            out["detections"] = jax.vmap(
+                lambda m: components_to_detections(
+                    m, det.min_component_pixels, capacity=64,
+                    max_iters=det.cc_max_iters,
+                )
+            )(mask)
+        elif postprocess != "none":
+            raise ValueError(f"unknown postprocess {postprocess!r}")
+        if squeeze:
+            out = jax.tree.map(lambda a: a[0], out)
+        return out
+
+    return fn
+
+
+def jit_pipeline(
+    model_name: str = "tiny_cnn",
+    cfg: PipelineConfig = PipelineConfig(),
+    postprocess: str = "components",
+    model_kwargs: Optional[Dict[str, Any]] = None,
+) -> Callable:
+    """Jitted :func:`build_pipeline` (configs are closed over, so the
+    returned callable takes only (variables, points))."""
+    return jax.jit(build_pipeline(model_name, cfg, postprocess, model_kwargs))
+
+
+def shipped_tinycnn_pipeline(
+    cfg: PipelineConfig = PipelineConfig(),
+) -> Tuple[Callable, Dict]:
+    """The reference's inference setup: shipped tinycnn_best.pth weights,
+    min-max normalization, thr 0.5, components (tiny_sc_ped.run_inference).
+    Returns (jitted_fn, variables)."""
+    from .models.torch_import import load_tiny_cnn
+
+    return jit_pipeline("tiny_cnn", cfg, "components"), load_tiny_cnn()

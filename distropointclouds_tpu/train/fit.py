@@ -1,0 +1,205 @@
+"""The high-level training driver: epochs, eval, checkpoints, early stop.
+
+One `fit()` covers all three reference trainers (their loops differ only
+in config — SURVEY §3.3): per-epoch train + val passes with jitted
+steps, center-matching or IoU eval, best/last checkpointing
+(train_sc_ped.py:530-541), early stopping and a final held-out test pass
+(tiny_sc_pred_v2.py:579-605), and a structured JSONL metrics log instead
+of prints (SURVEY §5 observability).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import TrainConfig
+from ..ops.postprocess import extract_peaks
+from ..core.config import DetectorConfig
+from . import metrics as M
+from .checkpoint import CheckpointManager
+from .data import (
+    ScanContextArrays,
+    build_targets,
+    epoch_batches,
+    prefetch_to_device,
+    split_indices,
+)
+from .loop import TrainState, init_state, make_eval_step, make_train_step
+
+
+def fit(
+    data: ScanContextArrays,
+    cfg: TrainConfig,
+    model=None,
+    log_path: Optional[str] = None,
+    resume: bool = False,
+    eval_threshold: float = 0.35,
+) -> Tuple[TrainState, Dict[str, float]]:
+    """Train per the given TrainConfig; returns (best_state, final metrics).
+
+    Selection metric: center-matching F1 for tiny_unet
+    (train_sc_ped.py:536: best.pt on F1), pixel IoU otherwise
+    (tiny_sc_ped.py:262, tiny_sc_pred_v2 uses F1 over pixels — we use
+    IoU for tiny_cnn and pixel F1 for sc_unet).
+    """
+    from ..pipeline import MODELS
+
+    if model is None:
+        model = MODELS[cfg.model]()
+
+    n = len(data)
+    tr_idx, va_idx, te_idx = split_indices(
+        n, cfg, shuffle=cfg.model != "tiny_cnn"
+    )
+    steps_per_epoch = max(1, len(tr_idx) // cfg.batch_size)
+
+    rng = jax.random.key(cfg.seed)
+    state, tx = init_state(
+        model,
+        cfg,
+        rng,
+        jnp.zeros((1, cfg.height, cfg.width, 1)),
+        steps_per_epoch,
+    )
+    train_step = jax.jit(make_train_step(model, tx, cfg))
+    eval_step = jax.jit(make_eval_step(model, cfg))
+    targets_train = jax.jit(
+        lambda b, k: build_targets(b, cfg, k)
+    )
+    targets_eval = jax.jit(
+        lambda b: build_targets(
+            b,
+            TrainConfig(**{**cfg.__dict__, "roll_aug": False, "mask_dropout": 0.0}),
+            None,
+        )
+    )
+
+    ckpt = CheckpointManager(cfg.ckpt_dir)
+    start_epoch = 1
+    best_metric = -np.inf
+    if resume and ckpt.has("last"):
+        state, meta = ckpt.restore("last", state)
+        start_epoch = meta.get("epoch", 0) + 1
+        best_metric = meta.get("metrics", {}).get("best_metric", -np.inf)
+
+    host_rng = np.random.default_rng(cfg.seed)
+    log_f = open(log_path, "a") if log_path else None
+
+    def log(rec: Dict):
+        if log_f:
+            log_f.write(json.dumps(rec) + "\n")
+            log_f.flush()
+
+    def run_eval(idx: np.ndarray) -> Dict[str, float]:
+        if len(idx) == 0:
+            return {}
+        losses: List[float] = []
+        ious: List[float] = []
+        tp = fp = fn = 0
+        pix = {"tp": 0.0, "fp": 0.0, "fn": 0.0}
+        for batch in epoch_batches(
+            data, idx, cfg.batch_size, host_rng, shuffle=False
+        ):
+            n_real = int(batch.pop("n_real"))
+            dev = targets_eval(jax.device_put(batch))
+            aux, probs = eval_step(state, dev)
+            losses.append(float(aux["loss"]))
+            ious.append(float(aux["iou"]))
+            p = np.asarray(probs)[..., 0][:n_real]
+            t = np.asarray(dev["target"])[..., 0][:n_real]
+            if cfg.model == "tiny_unet":
+                # center matching against GT centers (train_sc_ped eval)
+                centers = np.asarray(batch["centers"])[:n_real]
+                valid = np.asarray(batch["ped_valid"])[:n_real]
+                for bi in range(n_real):
+                    det = extract_peaks(
+                        jnp.asarray(p[bi]),
+                        DetectorConfig(),
+                        threshold=eval_threshold,
+                    )
+                    preds = [
+                        (float(r), float(s), float(v))
+                        for r, s, v, ok in zip(
+                            np.asarray(det.ring),
+                            np.asarray(det.sector),
+                            np.asarray(det.score),
+                            np.asarray(det.valid),
+                        )
+                        if ok
+                    ]
+                    gts = [
+                        tuple(map(int, centers[bi, j]))
+                        for j in range(valid.shape[1])
+                        if valid[bi, j]
+                    ]
+                    a, b, c = M.match_centers(preds, gts)
+                    tp, fp, fn = tp + a, fp + b, fn + c
+            else:
+                pm = M.pixel_metrics(jnp.asarray(p), jnp.asarray(t))
+                for k in ("tp", "fp", "fn"):
+                    pix[k] += float(pm[k])
+        out = {"loss": float(np.mean(losses)), "iou": float(np.mean(ious))}
+        if cfg.model == "tiny_unet":
+            out.update(M.precision_recall_f1(tp, fp, fn))
+        else:
+            out.update(
+                M.precision_recall_f1(int(pix["tp"]), int(pix["fp"]), int(pix["fn"]))
+            )
+        return out
+
+    patience_left = cfg.early_stop_patience or np.inf
+    best_state = state
+    for epoch in range(start_epoch, cfg.epochs + 1):
+        t0 = time.time()
+        train_losses = []
+        it = epoch_batches(data, tr_idx, cfg.batch_size, host_rng, shuffle=True)
+        for batch in prefetch_to_device(it, size=2):
+            batch.pop("n_real")
+            rng, sub = jax.random.split(rng)
+            dev = targets_train(batch, sub)
+            state, aux = train_step(state, dev)
+            train_losses.append(aux["loss"])
+        train_loss = float(jnp.mean(jnp.stack(train_losses)))
+
+        val = run_eval(va_idx)
+        sel = val.get("f1" if cfg.model != "tiny_cnn" else "iou", 0.0)
+        rec = {
+            "epoch": epoch,
+            "train_loss": train_loss,
+            "time_s": round(time.time() - t0, 2),
+            **{f"val_{k}": v for k, v in val.items()},
+        }
+        log(rec)
+        print(
+            f"[epoch {epoch:03d}] train_loss={train_loss:.4f} "
+            + " ".join(f"val_{k}={v:.4f}" for k, v in val.items())
+        )
+
+        ckpt.save("last", state, epoch, {**val, "best_metric": best_metric})
+        if sel > best_metric:
+            best_metric = sel
+            best_state = state
+            ckpt.save("best", state, epoch, {**val, "best_metric": best_metric})
+            patience_left = cfg.early_stop_patience or np.inf
+        else:
+            patience_left -= 1
+            if patience_left <= 0:
+                print(f"early stop at epoch {epoch}")
+                break
+
+    final: Dict[str, float] = {}
+    if len(te_idx):
+        state = best_state
+        final = {f"test_{k}": v for k, v in run_eval(te_idx).items()}
+        log({"final": final})
+        print("test:", final)
+    if log_f:
+        log_f.close()
+    return best_state, final

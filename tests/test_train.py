@@ -1,0 +1,269 @@
+"""Training subsystem: loss parity vs torch, metrics parity, data
+pipeline, optimizer schedules, distributed-equals-single-device, and a
+tiny end-to-end fit() run with checkpoint resume."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from distropointclouds_tpu.core.config import ScanContextConfig, TrainConfig
+from distropointclouds_tpu.train import losses as L
+from distropointclouds_tpu.train import metrics as M
+
+
+@pytest.fixture(scope="module")
+def logits_targets(rng=None):
+    r = np.random.default_rng(42)
+    logits = r.normal(size=(4, 32, 64, 1)).astype(np.float32) * 3
+    targets = (r.uniform(size=(4, 32, 64, 1)) < 0.1).astype(np.float32)
+    return jnp.asarray(logits), jnp.asarray(targets)
+
+
+def test_bce_pos_weight_vs_torch(logits_targets):
+    torch = pytest.importorskip("torch")
+    lg, tg = logits_targets
+    ours = float(L.bce_with_logits(lg, tg, pos_weight=2.0))
+    ref = torch.nn.BCEWithLogitsLoss(pos_weight=torch.tensor([2.0]))(
+        torch.tensor(np.asarray(lg)), torch.tensor(np.asarray(tg))
+    )
+    assert ours == pytest.approx(float(ref), rel=1e-5)
+
+
+def test_dice_vs_reference_formula(logits_targets):
+    torch = pytest.importorskip("torch")
+    lg, tg = logits_targets
+    ours = float(L.dice_loss(lg, tg))
+    p = torch.sigmoid(torch.tensor(np.asarray(lg)))
+    t = torch.tensor(np.asarray(tg))
+    num = 2.0 * (p * t).sum(dim=[1, 2, 3]) + 1e-6
+    den = p.sum(dim=[1, 2, 3]) + t.sum(dim=[1, 2, 3]) + 1e-6
+    ref = 1.0 - (num / den).mean()
+    assert ours == pytest.approx(float(ref), rel=1e-5)
+
+
+def test_focal_vs_reference_formula(logits_targets):
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    lg, tg = logits_targets
+    ours = float(L.bce_focal_loss(lg, tg, alpha=0.75, gamma=2.0))
+    lgt, tgt = torch.tensor(np.asarray(lg)), torch.tensor(np.asarray(tg))
+    bce = F.binary_cross_entropy_with_logits(lgt, tgt, reduction="none")
+    p = torch.sigmoid(lgt)
+    pt = tgt * p + (1 - tgt) * (1 - p)
+    ref = ((0.75 * (1 - pt).pow(2.0)) * bce).mean()
+    assert ours == pytest.approx(float(ref), rel=1e-5)
+
+
+def test_adaptive_focal_vs_reference_formula(logits_targets):
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    lg, tg = logits_targets
+    w = jnp.ones_like(tg) * 3.0
+    ours = float(L.adaptive_focal_loss(lg, tg, w, gamma=2.0, base_alpha=0.25))
+    lgt, tgt = torch.tensor(np.asarray(lg)), torch.tensor(np.asarray(tg))
+    wt = torch.ones_like(tgt) * 3.0
+    ce = F.binary_cross_entropy_with_logits(lgt, tgt, reduction="none")
+    p = torch.sigmoid(lgt)
+    pt = p * tgt + (1 - p) * (1 - tgt)
+    focal_weight = (1 - pt) ** 2.0
+    alpha = 0.25 * wt
+    alpha_t = alpha * tgt + (1 - 0.25) * (1 - tgt)
+    ref = (ce * focal_weight * alpha_t).mean()
+    assert ours == pytest.approx(float(ref), rel=1e-5)
+
+
+def test_iou_vs_reference_formula(logits_targets):
+    lg, tg = logits_targets
+    ours = float(L.iou_from_logits(lg, tg))
+    p = (1 / (1 + np.exp(-np.asarray(lg))) > 0.5).astype(np.float32)
+    t = np.asarray(tg)
+    inter = (p * t).sum(axis=(1, 2, 3))
+    union = ((p + t) >= 1).astype(np.float32).sum(axis=(1, 2, 3))
+    ref = ((inter + 1e-6) / (union + 1e-6)).mean()
+    assert ours == pytest.approx(float(ref), rel=1e-5)
+
+
+def test_match_centers_wrap():
+    # prediction at sector 719 must match GT at sector 2 (wrap dist 3)
+    preds = [(10, 719, 0.9), (50, 100, 0.8)]
+    gts = [(10, 2), (50, 100), (80, 400)]
+    tp, fp, fn = M.match_centers(preds, gts)
+    assert (tp, fp, fn) == (2, 0, 1)
+    # greedy: one pred can't match two gts
+    preds = [(10, 2, 0.9), (10, 3, 0.8)]
+    gts = [(10, 2)]
+    tp, fp, fn = M.match_centers(preds, gts)
+    assert (tp, fp, fn) == (1, 1, 0)
+
+
+def test_range_stratified_metrics():
+    probs = np.zeros((160, 720), np.float32)
+    target = np.zeros((160, 720), np.float32)
+    probs[10, 10] = 0.6
+    target[10, 10] = 1  # near band thr 0.5 -> TP
+    probs[70, 10] = 0.45
+    target[70, 10] = 1  # mid band thr 0.4 -> TP
+    probs[130, 10] = 0.35
+    target[130, 10] = 1  # far band thr 0.3 -> TP
+    probs[140, 20] = 0.35  # far FP
+    out = M.range_stratified_metrics(jnp.asarray(probs), jnp.asarray(target))
+    assert float(out["rings_0_60"]["tp"]) == 1
+    assert float(out["rings_60_120"]["tp"]) == 1
+    assert float(out["rings_120_160"]["tp"]) == 1
+    assert float(out["rings_120_160"]["fp"]) == 1
+
+
+def make_synthetic_dataset(tmp_path, n=12, H=160, W=720):
+    """Write a tiny sc_*.npy + pedestrians_*.json dataset."""
+    from distropointclouds_tpu.labels.pedestrians import (
+        pedestrians_from_label_array,
+    )
+
+    os.makedirs(tmp_path, exist_ok=True)
+    rng = np.random.default_rng(0)
+    for i in range(n):
+        sc = rng.normal(size=(H, W)).astype(np.float32)
+        np.save(tmp_path / f"sc_{i:06d}.npy", sc)
+        labels = np.array(
+            [
+                [1, 5.0 + i * 0.5, 1.0, -0.5, 1.7, 0.6, 0.8, 0.3],
+                [1, 8.0, -2.0 + i * 0.1, -0.5, 1.6, 0.5, 0.7, -0.4],
+            ],
+            np.float32,
+        )
+        peds = pedestrians_from_label_array(labels)
+        with open(tmp_path / f"pedestrians_{i:06d}.json", "w") as f:
+            json.dump(peds, f)
+    return str(tmp_path)
+
+
+def test_data_pipeline_and_targets(tmp_path):
+    from distropointclouds_tpu.train.data import (
+        build_targets,
+        epoch_batches,
+        load_scan_context_dir,
+        split_indices,
+    )
+
+    d = make_synthetic_dataset(tmp_path)
+    data = load_scan_context_dir(d)
+    assert len(data) == 12
+    assert data.ped_valid.sum() == 24
+
+    cfg = TrainConfig.trainer_b()
+    tr, va, te = split_indices(len(data), cfg)
+    assert len(tr) + len(va) + len(te) == 12
+
+    batches = list(
+        epoch_batches(data, tr, 4, np.random.default_rng(0), shuffle=True)
+    )
+    b0 = {k: jnp.asarray(v) for k, v in batches[0].items() if k != "n_real"}
+
+    # trainer B targets: heatmap peaks at centers
+    out = build_targets(b0, TrainConfig(**{**cfg.__dict__, "roll_aug": False}))
+    assert out["x"].shape == (4, 160, 720, 1)
+    hm = np.asarray(out["target"])[..., 0]
+    centers = np.asarray(b0["centers"])
+    for bi in range(4):
+        r, s = int(centers[bi, 0, 0]), int(centers[bi, 0, 1])
+        assert hm[bi, r, s] == pytest.approx(1.0, abs=1e-5)
+
+    # trainer C targets: mask + weights >= 1 on mask
+    cfgc = TrainConfig.trainer_c()
+    outc = build_targets(b0, TrainConfig(**{**cfgc.__dict__, "roll_aug": False}))
+    m = np.asarray(outc["target"])[..., 0]
+    w = np.asarray(outc["weight"])[..., 0]
+    assert m.sum() > 0
+    assert (w[m > 0] >= 1.0).all()
+    assert (w <= 10.0).all()
+
+    # roll aug keeps x and target aligned
+    cfga = TrainConfig(**{**cfg.__dict__, "roll_aug": True})
+    outr = build_targets(b0, cfga, jax.random.key(3))
+    assert np.asarray(outr["target"]).sum() == pytest.approx(
+        np.asarray(out["target"]).sum(), rel=1e-4
+    )
+
+
+def test_cosine_warm_restarts_schedule():
+    from distropointclouds_tpu.train.loop import cosine_warm_restarts
+
+    sched = cosine_warm_restarts(1.0, steps_per_epoch=10, t0_epochs=10,
+                                 t_mult=2, total_epochs=50)
+    assert float(sched(0)) == pytest.approx(1.0)
+    # End of first cycle (100 steps): near 0; restart at step 100.
+    assert float(sched(99)) < 0.01
+    assert float(sched(100)) == pytest.approx(1.0, abs=1e-3)
+    # second cycle is 20 epochs -> restarts again at 300
+    assert float(sched(299)) < 0.01
+    assert float(sched(300)) == pytest.approx(1.0, abs=1e-3)
+
+
+def test_encoder_lr_groups():
+    from distropointclouds_tpu.models.sc_unet import ScanContextUNet
+    from distropointclouds_tpu.train.loop import init_state, make_train_step
+
+    cfg = TrainConfig.trainer_c()
+    model = ScanContextUNet()
+    state, tx = init_state(
+        model, cfg, jax.random.key(0), jnp.zeros((1, 32, 96, 1)), 10
+    )
+    step = jax.jit(make_train_step(model, tx, cfg))
+    batch = {
+        "x": jnp.ones((2, 32, 96, 1)),
+        "target": jnp.zeros((2, 32, 96, 1)),
+        "weight": jnp.ones((2, 32, 96, 1)),
+    }
+    new_state, aux = step(state, batch)
+    assert np.isfinite(float(aux["loss"]))
+    # params actually moved
+    moved = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()), state.params, new_state.params
+    )
+    assert max(jax.tree.leaves(moved)) > 0
+
+
+def test_fit_tiny_run_and_resume(tmp_path):
+    """Two-epoch fit on a synthetic set, then resume for one more."""
+    from distropointclouds_tpu.train.data import load_scan_context_dir
+    from distropointclouds_tpu.train.fit import fit
+
+    d = make_synthetic_dataset(tmp_path / "data", n=8, H=32, W=96)
+    os.makedirs(d, exist_ok=True)
+    data = load_scan_context_dir(d)
+    # shrink grids for speed
+    cfg = TrainConfig(
+        model="tiny_cnn",
+        height=32,
+        width=96,
+        batch_size=4,
+        epochs=2,
+        normalize="minmax",
+        use_dice=True,
+        roll_max=8,
+        val_split=0.25,
+        test_split=0.25,
+        ckpt_dir=str(tmp_path / "ckpt"),
+    )
+    data.sc = data.sc[:, :32, :96].copy()
+    state, final = fit(
+        data, cfg, log_path=str(tmp_path / "log.jsonl")
+    )
+    assert any(k.startswith("test_") for k in final)
+    log_lines = open(tmp_path / "log.jsonl").read().strip().splitlines()
+    assert len(log_lines) >= 2
+
+    cfg3 = TrainConfig(**{**cfg.__dict__, "epochs": 3})
+    state2, _ = fit(
+        data, cfg3, log_path=str(tmp_path / "log.jsonl"), resume=True
+    )
+    lines = open(tmp_path / "log.jsonl").read().strip().splitlines()
+    recs = [json.loads(l) for l in lines if "epoch" in l]
+    assert recs[-1]["epoch"] == 3  # resumed at epoch 3, not 1
