@@ -97,8 +97,9 @@ def center_to_corner_box3d(
     there, and corner points mapped back to camera — exactly the
     reference's (convoluted but behavior-defining) route.
     """
+    if V2C is None or R0 is None:
+        V2C, R0, _ = _calib.mean_calibration()
     if coordinate == "camera":
-        assert V2C is not None and R0 is not None
         boxes = camera_to_lidar_box(boxes, V2C, R0)
     h, w, l = boxes[..., 3], boxes[..., 4], boxes[..., 5]
     yaw = boxes[..., 6]
@@ -127,8 +128,9 @@ def corner_to_center_box3d(
     Works in camera coords (y down); ``coordinate='lidar'`` converts in
     and out like the reference (transformation.py:161-163,235-236).
     """
+    if V2C is None or R0 is None:
+        V2C, R0, _ = _calib.mean_calibration()
     if coordinate == "lidar":
-        assert V2C is not None and R0 is not None
         corners = lidar_to_camera_points(corners, V2C, R0)
 
     roi = corners  # (N, 8, 3) camera coords

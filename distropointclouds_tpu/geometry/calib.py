@@ -20,6 +20,43 @@ from typing import Tuple
 import jax.numpy as jnp
 
 
+def mean_calibration():
+    """KITTI-train-average calibration (kitti_config.py:42-65) as
+    (V2C (3,4), R0 (3,3), P2 (3,4)) jnp arrays — the fallback used when
+    no per-frame calib is given (transformation.py:30-42 uses these
+    constants via its `cnf` module)."""
+    import numpy as np
+
+    V2C = jnp.asarray(
+        np.array(
+            [
+                [7.49916597e-03, -9.99971248e-01, -8.65110297e-04, -6.71807577e-03],
+                [1.18652889e-02, 9.54520517e-04, -9.99910318e-01, -7.33152811e-02],
+                [9.99882833e-01, 7.49141178e-03, 1.18719929e-02, -2.78557062e-01],
+            ]
+        )
+    )
+    R0 = jnp.asarray(
+        np.array(
+            [
+                [0.99992475, 0.00975976, -0.00734152],
+                [-0.0097913, 0.99994262, -0.00430371],
+                [0.00729911, 0.0043753, 0.99996319],
+            ]
+        )
+    )
+    P2 = jnp.asarray(
+        np.array(
+            [
+                [719.787081, 0.0, 608.463003, 44.9538775],
+                [0.0, 719.787081, 174.545111, 0.1066855],
+                [0.0, 0.0, 1.0, 3.0106472e-03],
+            ]
+        )
+    )
+    return V2C, R0, P2
+
+
 def cart2hom(pts: jnp.ndarray) -> jnp.ndarray:
     """(..., N, 3) -> (..., N, 4) homogeneous."""
     ones = jnp.ones(pts.shape[:-1] + (1,), dtype=pts.dtype)

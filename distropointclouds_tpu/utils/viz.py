@@ -1,0 +1,234 @@
+"""Headless visualization & export utilities.
+
+Replaces the reference's visualization stack — matplotlib PNG savers
+(`scaner_version2.py:293-365,372-427`, `train_sc_ped.py:107-129`,
+`kitti_dataset.py:497-522`), OpenCV BEV drawing
+(`kitti_bev_utils.py:163-180`, `visualization_utils_cv.py`), training
+history plots (`tiny_sc_pred_v2.py:611-662`), and the blocking Open3D
+windows (`scaner_version2.py:180-214`, `reconstruct_pointcloud.py:132-202`)
+— with headless file outputs (PNG via matplotlib-Agg / cv2, point clouds
+as PLY, since this framework targets display-less TPU hosts; open3d is
+not required).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def _plt():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    return plt
+
+
+def save_descriptor_png(
+    sc: np.ndarray,
+    path: str,
+    cmap: str = "viridis",
+    origin: str = "lower",
+    normalize: bool = True,
+) -> str:
+    """Min-max-normalized descriptor image at 100 dpi — the exact frame
+    layout of `scaner_version2.py:396-418` / `kitti_dataset.py:500-521`
+    (figsize W/100 x H/100, no axes, tight)."""
+    plt = _plt()
+    sc = np.asarray(sc)
+    if normalize:
+        mn, mx = float(sc.min()), float(sc.max())
+        if mx > mn:
+            sc = (sc - mn) / (mx - mn)
+    h, w = sc.shape
+    fig = plt.figure(figsize=(w / 100.0, h / 100.0), dpi=100)
+    ax = plt.Axes(fig, [0.0, 0.0, 1.0, 1.0])
+    ax.set_axis_off()
+    fig.add_axes(ax)
+    ax.imshow(sc, cmap=cmap, aspect="auto", origin=origin)
+    fig.savefig(path, dpi=100, bbox_inches="tight", pad_inches=0)
+    plt.close(fig)
+    return path
+
+
+def save_overlay(
+    sc: np.ndarray,
+    heat_pred: np.ndarray,
+    centers: Sequence[Tuple[int, int]],
+    path: str,
+    clip_abs_z: float = 3.0,
+) -> str:
+    """Validation overlay: normalized SC background + semi-transparent
+    predicted heatmap + white GT centers (`train_sc_ped.py:107-129`)."""
+    plt = _plt()
+    scn = np.clip(sc, -clip_abs_z, clip_abs_z) / clip_abs_z
+    scn = (scn + 1.0) / 2.0
+    fig = plt.figure(figsize=(7.2, 1.6), dpi=100)
+    ax = plt.Axes(fig, [0.0, 0.0, 1.0, 1.0])
+    ax.set_axis_off()
+    fig.add_axes(ax)
+    ax.imshow(scn, cmap="viridis", aspect="auto", origin="lower")
+    ax.imshow(heat_pred, cmap="hot", alpha=0.45, aspect="auto", origin="lower")
+    if centers:
+        ax.scatter([c[1] for c in centers], [c[0] for c in centers], s=8, c="w")
+    fig.savefig(path, dpi=100, bbox_inches="tight", pad_inches=0)
+    plt.close(fig)
+    return path
+
+
+def save_descriptor_with_cells(
+    sc: np.ndarray,
+    covered_cells: Sequence[Sequence[int]],
+    centers: Sequence[Tuple[int, int]],
+    path: str,
+) -> str:
+    """Descriptor + red covered cells + white centers
+    (`scaner_version2.py:309-365` plot_sc_from_json)."""
+    plt = _plt()
+    mn, mx = float(sc.min()), float(sc.max())
+    scn = (sc - mn) / (mx - mn) if mx > mn else sc
+    h, w = sc.shape
+    fig = plt.figure(figsize=(w / 100.0, h / 100.0), dpi=100)
+    ax = plt.Axes(fig, [0.0, 0.0, 1.0, 1.0])
+    ax.set_axis_off()
+    fig.add_axes(ax)
+    ax.imshow(scn, cmap="viridis", aspect="auto", origin="lower")
+    cells = np.asarray(covered_cells).reshape(-1, 2)
+    if cells.size:
+        ax.scatter(cells[:, 1], cells[:, 0], s=3, c="r", alpha=0.85)
+    for r, s in centers:
+        ax.plot(s, r, "wo", markersize=2, alpha=0.9)
+    fig.savefig(path, dpi=100, bbox_inches="tight", pad_inches=0)
+    plt.close(fig)
+    return path
+
+
+def plot_training_history(
+    history: Dict[str, List[float]], path: str
+) -> str:
+    """Loss/metric curves per epoch (`tiny_sc_pred_v2.py:611-662`).
+    ``history`` maps series name -> per-epoch values."""
+    plt = _plt()
+    keys = list(history)
+    n = max(1, len(keys))
+    cols = min(2, n)
+    rows = (n + cols - 1) // cols
+    fig, axes = plt.subplots(rows, cols, figsize=(6 * cols, 3.2 * rows))
+    axes = np.atleast_1d(axes).reshape(-1)
+    for ax, k in zip(axes, keys):
+        ax.plot(history[k])
+        ax.set_title(k)
+        ax.set_xlabel("epoch")
+        ax.grid(True, alpha=0.3)
+    for ax in axes[len(keys):]:
+        ax.axis("off")
+    fig.tight_layout()
+    fig.savefig(path, dpi=100)
+    plt.close(fig)
+    return path
+
+
+def save_pointcloud_ply(
+    points: np.ndarray,
+    colors: Optional[np.ndarray],
+    path: str,
+) -> str:
+    """ASCII PLY export — the headless replacement for the reference's
+    Open3D windows (`reconstruct_pointcloud.py:197-202`). colors in
+    [0, 1] (float) or None."""
+    points = np.asarray(points, dtype=np.float64).reshape(-1, 3)
+    has_color = colors is not None
+    if has_color:
+        c = np.clip(np.asarray(colors).reshape(-1, 3) * 255, 0, 255).astype(
+            np.uint8
+        )
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {len(points)}\n")
+        f.write("property float x\nproperty float y\nproperty float z\n")
+        if has_color:
+            f.write(
+                "property uchar red\nproperty uchar green\nproperty uchar blue\n"
+            )
+        f.write("end_header\n")
+        for i, p in enumerate(points):
+            row = f"{p[0]:.6f} {p[1]:.6f} {p[2]:.6f}"
+            if has_color:
+                row += f" {c[i, 0]} {c[i, 1]} {c[i, 2]}"
+            f.write(row + "\n")
+    return path
+
+
+# ---- OpenCV BEV drawing (kitti_bev_utils.py:163-180 &
+# visualization_utils_cv.py equivalents) --------------------------------
+
+BEV_COLORS = ((0, 255, 255), (0, 0, 255), (255, 0, 0))
+
+
+def draw_rotated_box(
+    img: np.ndarray,
+    x: float,
+    y: float,
+    w: float,
+    l: float,
+    yaw: float,
+    color=(0, 255, 255),
+) -> np.ndarray:
+    """Rotated rectangle + heading edge in cyan (drawRotatedBox,
+    kitti_bev_utils.py:163-168)."""
+    import cv2
+
+    from ..bev.targets import get_corners
+
+    corners = np.asarray(
+        get_corners(
+            np.float32(x), np.float32(y), np.float32(w), np.float32(l),
+            np.float32(yaw),
+        )
+    )
+    pts = corners.reshape(-1, 1, 2).astype(np.int32)
+    cv2.polylines(img, [pts], True, color, 2)
+    c = corners.astype(np.int32)
+    cv2.line(img, (c[0, 0], c[0, 1]), (c[3, 0], c[3, 1]), (255, 255, 0), 2)
+    return img
+
+
+def draw_boxes_in_bev(
+    rgb_map: np.ndarray,
+    targets: np.ndarray,
+    valid: Optional[np.ndarray] = None,
+    bev_width: int = 608,
+    bev_height: int = 608,
+) -> np.ndarray:
+    """Draw YOLO-format targets on a BEV image (draw_box_in_bev,
+    kitti_bev_utils.py:171-180)."""
+    targets = np.asarray(targets).reshape(-1, 7)
+    for j, t in enumerate(targets):
+        if valid is not None and not valid[j]:
+            continue
+        if t[1:].sum() == 0:
+            continue
+        cls_id = int(t[0])
+        x = t[1] * bev_width
+        y = t[2] * bev_height
+        w = t[3] * bev_width
+        l = t[4] * bev_height
+        yaw = np.arctan2(t[5], t[6])
+        draw_rotated_box(
+            rgb_map, x, y, w, l, yaw, BEV_COLORS[cls_id % len(BEV_COLORS)]
+        )
+    return rgb_map
+
+
+def heights_to_colors(z: np.ndarray) -> np.ndarray:
+    """Viridis-style height coloring for reconstructed clouds
+    (reconstruct_pointcloud visualization)."""
+    z = np.asarray(z, dtype=np.float64)
+    zn = (z - z.min()) / max(z.max() - z.min(), 1e-9)
+    import matplotlib.cm as cm
+
+    return cm.viridis(zn)[:, :3]
