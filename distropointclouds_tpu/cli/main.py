@@ -1,0 +1,396 @@
+"""Command-line interface: ``python -m distropointclouds_tpu.cli.main``.
+
+Subcommands covering every reference entry point:
+
+  build-dataset   explicit batch descriptor+label generation (replaces
+                  the `KittiDataset.__getitem__` side effect,
+                  kitti_dataset.py:466-527, and `scaner_version2.py
+                  __main__`)
+  split           ImageSets train/val split writer (train_val_split.py)
+  train           the three trainers behind one CLI (trainer profiles
+                  a/b/c; trainer B's flag surface, train_sc_ped.py:471-480)
+  infer           descriptor -> detections JSON (tiny_sc_ped.run_inference,
+                  tiny_sc_pred_v2.inference)
+  detect          raw .bin -> descriptor -> detections, one jitted program
+  reconstruct     descriptor -> point cloud PLY (+ covered-cells overlay)
+                  (reconstruct_pointcloud.py)
+  stream          feed .bin files through the streaming API (the ROS
+                  node's offline twin)
+  bench           the end-to-end throughput benchmark
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+from glob import glob
+
+import numpy as np
+
+
+def _sc_config(args) -> "ScanContextConfig":
+    from ..core.config import ScanContextConfig
+
+    profile = getattr(args, "profile", "golden_v2")
+    cfg = getattr(ScanContextConfig, profile)()
+    return cfg
+
+
+def cmd_build_dataset(args) -> int:
+    """KITTI root -> scan_context dir of sc_*.npy + pedestrians_*.json
+    (+ optional PNG), deterministic and side-effect-explicit."""
+    import jax.numpy as jnp
+
+    from ..core.types import PointBatch
+    from ..geometry import boxes as B
+    from ..io.kitti import CalibrationData, KittiPaths, labels_to_array, read_label
+    from ..labels.pedestrians import merged_pedestrians
+    from ..ops.scan_context import scan_context_jit
+
+    cfg = _sc_config(args)
+    paths = KittiPaths(args.kitti_root, args.split_dir)
+    out = args.out or paths.scan_context_dir
+    os.makedirs(out, exist_ok=True)
+    ids = (
+        paths.sample_ids(args.mode)
+        if os.path.exists(paths.imageset_file(args.mode))
+        else sorted(
+            int(os.path.basename(p)[:-4])
+            for p in glob(os.path.join(paths.lidar_dir, "*.bin"))
+        )
+    )
+    if args.num_samples:
+        ids = ids[: args.num_samples]
+    for sid in ids:
+        scan = np.fromfile(paths.lidar(sid), dtype=np.float32).reshape(-1, 4)
+        pb = PointBatch.from_numpy(scan, cfg.max_points)
+        sc = np.asarray(scan_context_jit(pb, cfg))
+        np.save(os.path.join(out, f"sc_{sid:06d}.npy"), sc.astype(np.float32))
+
+        peds = []
+        if os.path.exists(paths.label(sid)) and os.path.exists(paths.calib(sid)):
+            objects = read_label(paths.label(sid))
+            calib = CalibrationData.read(paths.calib(sid))
+            arr = labels_to_array(objects)
+            if len(arr):
+                lab32 = np.zeros((len(arr), 8), np.float32)
+                lab32[:, 0] = arr[:, 0]
+                lidar_boxes = B.camera_to_lidar_box(
+                    jnp.asarray(arr[:, 1:].astype(np.float32)),
+                    jnp.asarray(calib.V2C),
+                    jnp.asarray(calib.R0),
+                )
+                # float32 label array like the reference's
+                # (kitti_bev_utils.py:92 + in-place assignment).
+                lab32[:, 1:] = np.asarray(lidar_boxes, dtype=np.float32)
+            else:
+                lab32 = np.zeros((0, 8), np.float32)
+            peds = merged_pedestrians(
+                lab32, objects, calib, cfg, dedupe=args.dedupe
+            )
+        with open(os.path.join(out, f"pedestrians_{sid:06d}.json"), "w") as f:
+            json.dump(peds, f, indent=2)
+        if args.png:
+            from ..utils.viz import save_descriptor_png
+
+            save_descriptor_png(sc, os.path.join(out, f"sc_{sid:06d}.png"))
+        print(f"[{sid:06d}] points={len(scan)} peds={len(peds)}")
+    print(f"wrote {len(ids)} samples to {out}")
+    return 0
+
+
+def cmd_split(args) -> int:
+    """ImageSets writer (train_val_split.py: ids 0..7480, test_size
+    0.5037, seeded shuffle)."""
+    rng = np.random.default_rng(args.seed)
+    ids = np.arange(args.num_ids)
+    rng.shuffle(ids)
+    n_val = int(round(len(ids) * args.val_fraction))
+    val, train = np.sort(ids[:n_val]), np.sort(ids[n_val:])
+    os.makedirs(args.out, exist_ok=True)
+    for name, arr in [("train", train), ("val", val)]:
+        with open(os.path.join(args.out, f"{name}.txt"), "w") as f:
+            f.writelines(f"{i:06d}\n" for i in arr)
+    print(f"train={len(train)} val={len(val)} -> {args.out}")
+    return 0
+
+
+def cmd_train(args) -> int:
+    from ..core.config import TrainConfig
+    from ..train.data import load_scan_context_dir
+    from ..train.fit import fit
+
+    base = {
+        "a": TrainConfig.trainer_a,
+        "b": TrainConfig.trainer_b,
+        "c": TrainConfig.trainer_c,
+    }[args.trainer]()
+    overrides = {}
+    for field in ("epochs", "batch_size", "lr", "seed", "ckpt_dir"):
+        v = getattr(args, field)
+        if v is not None:
+            overrides[field] = v
+    cfg = dataclasses.replace(base, **overrides)
+    data = load_scan_context_dir(
+        args.sc_dir, require_json=args.trainer == "c"
+    )
+    print(f"dataset: {len(data)} samples from {args.sc_dir}")
+    state, final = fit(
+        data, cfg, log_path=args.log or os.path.join(cfg.ckpt_dir, "log.jsonl"),
+        resume=args.resume,
+    )
+    print("done:", final)
+    return 0
+
+
+def _load_variables(args):
+    from ..models import torch_import
+
+    if args.ckpt and args.ckpt.endswith((".pth", ".pt")):
+        loader = {
+            "tiny_cnn": torch_import.load_tiny_cnn,
+            "tiny_unet": torch_import.load_tiny_unet,
+            "sc_unet": torch_import.load_sc_unet,
+        }[args.model]
+        return loader(args.ckpt)
+    # orbax checkpoint directory from our own trainer
+    from ..train.checkpoint import CheckpointManager
+
+    return CheckpointManager(args.ckpt).restore_variables(args.tag)
+
+
+def cmd_infer(args) -> int:
+    """sc_*.npy -> detections JSON (tiny_sc_ped.py:217-234 semantics for
+    tiny_cnn; ring-banded thresholds for sc_unet,
+    tiny_sc_pred_v2.py:667-724)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..core.config import DetectorConfig
+    from ..models.layers import normalize_clip, normalize_minmax
+    from ..ops.postprocess import banded_threshold, components_to_detections
+    from ..pipeline import MODELS
+
+    variables = _load_variables(args)
+    model = MODELS[args.model]()
+    sc = np.load(args.sc_npy).astype(np.float32)
+    x = (
+        normalize_clip(jnp.asarray(sc))
+        if args.normalize == "clip"
+        else normalize_minmax(jnp.asarray(sc))
+    )
+    logits = model.apply(variables, x[None, ..., None], train=False)
+    if isinstance(logits, tuple):
+        logits = logits[0]
+    probs = jax.nn.sigmoid(logits[0, ..., 0])
+    det_cfg = DetectorConfig(mask_threshold=args.threshold)
+    if args.banded:
+        mask = banded_threshold(probs, det_cfg)
+    else:
+        mask = probs > args.threshold
+    dets = components_to_detections(mask, det_cfg.min_component_pixels)
+    out = [
+        {
+            "center_ring_idx": float(r),
+            "center_sector_idx": float(s),
+            "area_pixels": int(a),
+        }
+        for r, s, a, v in zip(
+            np.asarray(dets.ring), np.asarray(dets.sector),
+            np.asarray(dets.score), np.asarray(dets.valid),
+        )
+        if v
+    ]
+    if args.out_json:
+        with open(args.out_json, "w") as f:
+            json.dump(out, f, indent=2)
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_detect(args) -> int:
+    """Raw .bin -> descriptor -> CNN -> detections, one jitted program."""
+    from ..core.config import PipelineConfig
+    from ..core.types import PointBatch
+    from ..pipeline import jit_pipeline
+
+    variables = _load_variables(args)
+    cfg = PipelineConfig()
+    fn = jit_pipeline(args.model, cfg, args.postprocess)
+    scan = np.fromfile(args.bin, dtype=np.float32).reshape(-1, 4)
+    pb = PointBatch.from_numpy(scan, cfg.scan_context.max_points)
+    out = fn(variables, pb)
+    dets = out["detections"].to_list()
+    print(json.dumps({"num_points": len(scan), "detections": dets}))
+    if args.out_json:
+        with open(args.out_json, "w") as f:
+            json.dump(dets, f, indent=2)
+    return 0
+
+
+def cmd_reconstruct(args) -> int:
+    """sc_*.npy -> PLY point cloud with optional red covered cells
+    (reconstruct_pointcloud.py, headless)."""
+    import jax.numpy as jnp
+
+    from ..ops.invert import covered_cell_points, scan_context_to_pointcloud
+    from ..utils.viz import heights_to_colors, save_pointcloud_ply
+
+    cfg = _sc_config(args)
+    for npy in args.sc_npy:
+        sc = np.load(npy).astype(np.float32)
+        pts, valid, bin_ids = scan_context_to_pointcloud(jnp.asarray(sc), cfg)
+        pts = np.asarray(pts)[np.asarray(valid)]
+        colors = np.full((len(pts), 3), 0.7)
+        stem = os.path.splitext(os.path.basename(npy))[0]
+        jp = os.path.join(
+            os.path.dirname(npy), f"pedestrians_{stem[3:]}.json"
+        )
+        if os.path.exists(jp) and not args.no_cells:
+            peds = json.load(open(jp))
+            cells = []
+            for p in peds:
+                cells.extend(p.get("covered_cells", []))
+            if cells:
+                cpts, cvalid = covered_cell_points(
+                    jnp.asarray(sc), jnp.asarray(np.asarray(cells)), cfg
+                )
+                cpts = np.asarray(cpts)[np.asarray(cvalid)]
+                pts = np.concatenate([pts, cpts])
+                colors = np.concatenate(
+                    [colors, np.tile([[1.0, 0.0, 0.0]], (len(cpts), 1))]
+                )
+        out = args.out or (stem + ".ply")
+        save_pointcloud_ply(pts, colors, out)
+        print(f"{npy} -> {out} ({len(pts)} points)")
+    return 0
+
+
+def cmd_stream(args) -> int:
+    from ..stream.pipeline import ScanContextStream, StreamConfig
+
+    cfg = StreamConfig(
+        voxel_size=args.voxel_size,
+        max_length=args.max_length,
+        output_dir=args.out,
+        dl_images_dir=os.path.join(args.out, "png"),
+        store_pointcloud_png=args.png,
+    )
+    stream = ScanContextStream(cfg, save=True)
+    for path in args.bins:
+        scan = np.fromfile(path, dtype=np.float32).reshape(-1, 4)
+        stem = os.path.splitext(os.path.basename(path))[0]
+        stream.push(scan[:, :3], stem)
+    n = len(stream.drain())
+    print(f"processed {n} scans -> {args.out}; stats={stream.stats}")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import runpy
+
+    sys.argv = ["bench.py"]
+    runpy.run_path(
+        os.path.join(os.path.dirname(__file__), "..", "..", "bench.py"),
+        run_name="__main__",
+    )
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="distropointclouds_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build-dataset", help=cmd_build_dataset.__doc__)
+    b.add_argument("--kitti_root", required=True)
+    b.add_argument("--split_dir", default="training")
+    b.add_argument("--mode", default="train")
+    b.add_argument("--out", default=None)
+    b.add_argument("--num_samples", type=int, default=0)
+    b.add_argument("--profile", default="golden_v2",
+                   choices=["golden_v2", "ros_node", "scaner_v1"])
+    b.add_argument("--png", action="store_true")
+    b.add_argument("--dedupe", action="store_true",
+                   help="drop the reference's duplicate-pedestrian quirk")
+    b.set_defaults(fn=cmd_build_dataset)
+
+    s = sub.add_parser("split", help=cmd_split.__doc__)
+    s.add_argument("--out", required=True)
+    s.add_argument("--num_ids", type=int, default=7481)
+    s.add_argument("--val_fraction", type=float, default=0.5037)
+    s.add_argument("--seed", type=int, default=0)
+    s.set_defaults(fn=cmd_split)
+
+    t = sub.add_parser("train", help=cmd_train.__doc__)
+    t.add_argument("--sc_dir", required=True)
+    t.add_argument("--trainer", default="b", choices=["a", "b", "c"])
+    t.add_argument("--epochs", type=int, default=None)
+    t.add_argument("--batch_size", type=int, default=None)
+    t.add_argument("--lr", type=float, default=None)
+    t.add_argument("--seed", type=int, default=None)
+    t.add_argument("--ckpt_dir", default=None)
+    t.add_argument("--log", default=None)
+    t.add_argument("--resume", action="store_true")
+    t.set_defaults(fn=cmd_train)
+
+    i = sub.add_parser("infer", help=cmd_infer.__doc__)
+    i.add_argument("--model", default="tiny_cnn",
+                   choices=["tiny_cnn", "tiny_unet", "sc_unet"])
+    i.add_argument("--ckpt", required=True)
+    i.add_argument("--tag", default="best")
+    i.add_argument("--sc_npy", required=True)
+    i.add_argument("--out_json", default=None)
+    i.add_argument("--threshold", type=float, default=0.5)
+    i.add_argument("--normalize", default="minmax", choices=["minmax", "clip"])
+    i.add_argument("--banded", action="store_true",
+                   help="ring-banded thresholds (tiny_sc_pred_v2)")
+    i.set_defaults(fn=cmd_infer)
+
+    d = sub.add_parser("detect", help=cmd_detect.__doc__)
+    d.add_argument("--model", default="tiny_cnn")
+    d.add_argument("--ckpt", required=True)
+    d.add_argument("--tag", default="best")
+    d.add_argument("--bin", required=True)
+    d.add_argument("--postprocess", default="components",
+                   choices=["components", "peaks", "banded"])
+    d.add_argument("--out_json", default=None)
+    d.set_defaults(fn=cmd_detect)
+
+    r = sub.add_parser("reconstruct", help=cmd_reconstruct.__doc__)
+    r.add_argument("sc_npy", nargs="+")
+    r.add_argument("--out", default=None)
+    r.add_argument("--profile", default="golden_v2",
+                   choices=["golden_v2", "ros_node", "scaner_v1"])
+    r.add_argument("--no_cells", action="store_true")
+    r.set_defaults(fn=cmd_reconstruct)
+
+    st = sub.add_parser("stream", help=cmd_stream.__doc__)
+    st.add_argument("bins", nargs="+")
+    st.add_argument("--out", default="scan_results")
+    st.add_argument("--voxel_size", type=float, default=0.20)
+    st.add_argument("--max_length", type=float, default=80.0)
+    st.add_argument("--png", action="store_true")
+    st.set_defaults(fn=cmd_stream)
+
+    be = sub.add_parser("bench", help=cmd_bench.__doc__)
+    be.set_defaults(fn=cmd_bench)
+    return p
+
+
+def main(argv=None) -> int:
+    # Honor an explicit JAX_PLATFORMS env var even when a site hook has
+    # re-registered platforms after env parsing (jax.config wins over
+    # the env var once jax is imported).
+    if "JAX_PLATFORMS" in os.environ:
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

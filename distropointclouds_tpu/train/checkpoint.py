@@ -103,6 +103,19 @@ class CheckpointManager:
             return jax.tree.unflatten(treedef, restored), meta
         raise FileNotFoundError(f"no checkpoint '{tag}' in {self.directory}")
 
+    def restore_variables(self, tag: str) -> Dict:
+        """Template-free restore of model variables only — for inference
+        (the analog of loading just the 'model' entry of a reference
+        checkpoint dict, train_sc_ped.py:504-511). Returns
+        {"params": ..., "batch_stats": ...}."""
+        if _HAVE_ORBAX and os.path.isdir(self._path(tag)):
+            raw = self._ckptr.restore(self._path(tag))
+            return {
+                "params": raw["params"],
+                "batch_stats": raw["batch_stats"],
+            }
+        raise FileNotFoundError(f"no checkpoint '{tag}' in {self.directory}")
+
     def has(self, tag: str) -> bool:
         return os.path.isdir(self._path(tag)) or os.path.exists(
             self._path(tag) + ".npz"

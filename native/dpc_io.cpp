@@ -1,0 +1,272 @@
+// dpc_io: native host-side IO runtime for distropointclouds_tpu.
+//
+// The reference's performance-critical host work lives in third-party
+// native libraries (numpy decode, Open3D voxel downsample, torch
+// DataLoader worker processes — SURVEY §2). This library provides the
+// equivalent native layer for the TPU framework's input pipeline:
+//
+//   * dpc_load_scan        — KITTI .bin decode straight into a caller-
+//                            provided fixed-size padded float32 buffer
+//                            (zero-copy into the staging buffer that
+//                            feeds jax.device_put).
+//   * dpc_loader_*         — a multi-threaded prefetching batch loader:
+//                            worker threads read+pad scans into a
+//                            bounded ring of staging buffers while the
+//                            TPU consumes previous batches (replaces
+//                            torch DataLoader workers + pin_memory).
+//   * dpc_voxel_downsample — hash-grid centroid voxel downsample with
+//                            Open3D voxel_down_sample semantics
+//                            (index = floor((p - min_bound)/voxel),
+//                            centroid per occupied voxel).
+//
+// Exposed as a plain C ABI for ctypes (no pybind11 dependency).
+
+#include <atomic>
+#include <cmath>
+#include <condition_variable>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <mutex>
+#include <queue>
+#include <string>
+#include <thread>
+#include <unordered_map>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Scan decode
+// ---------------------------------------------------------------------------
+
+// Read a KITTI .bin (N x 4 float32) into out[max_points * 4], zero-padded.
+// Returns the number of points stored (min(N, max_points)), or -1 on error.
+int64_t dpc_load_scan(const char* path, float* out, int64_t max_points) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return -1;
+  const size_t want = static_cast<size_t>(max_points) * 4;
+  size_t got = std::fread(out, sizeof(float), want, f);
+  // Count total floats in the file to report the true point count
+  // (truncated reads still fill the buffer completely).
+  bool truncated = false;
+  if (got == want) {
+    float probe;
+    truncated = std::fread(&probe, sizeof(float), 1, f) == 1;
+  }
+  std::fclose(f);
+  if (got % 4 != 0 && !truncated) {
+    // Malformed tail; drop the partial point.
+    got -= got % 4;
+  }
+  std::memset(out + got, 0, (want - got) * sizeof(float));
+  return static_cast<int64_t>(got / 4);
+}
+
+// ---------------------------------------------------------------------------
+// Voxel downsample (Open3D-compatible centroid semantics)
+// ---------------------------------------------------------------------------
+
+// in: n x 3 float32. out: capacity x 3 float32. Returns number of
+// centroids written (one per occupied voxel), or -1 if capacity too small.
+int64_t dpc_voxel_downsample(const float* in, int64_t n, float voxel,
+                             float* out, int64_t capacity) {
+  if (n <= 0) return 0;
+  float mn[3] = {in[0], in[1], in[2]};
+  for (int64_t i = 1; i < n; ++i) {
+    for (int d = 0; d < 3; ++d) {
+      float v = in[i * 3 + d];
+      if (v < mn[d]) mn[d] = v;
+    }
+  }
+  struct Acc {
+    double sum[3] = {0, 0, 0};
+    int64_t count = 0;
+  };
+  std::unordered_map<uint64_t, Acc> cells;
+  cells.reserve(static_cast<size_t>(n));
+  const double inv = 1.0 / static_cast<double>(voxel);
+  for (int64_t i = 0; i < n; ++i) {
+    const float* p = in + i * 3;
+    // 21 bits per axis (enough for ~2e6 voxels per axis).
+    uint64_t ix = static_cast<uint64_t>(
+        static_cast<int64_t>(std::floor((p[0] - mn[0]) * inv)) & 0x1FFFFF);
+    uint64_t iy = static_cast<uint64_t>(
+        static_cast<int64_t>(std::floor((p[1] - mn[1]) * inv)) & 0x1FFFFF);
+    uint64_t iz = static_cast<uint64_t>(
+        static_cast<int64_t>(std::floor((p[2] - mn[2]) * inv)) & 0x1FFFFF);
+    uint64_t key = (ix << 42) | (iy << 21) | iz;
+    Acc& a = cells[key];
+    a.sum[0] += p[0];
+    a.sum[1] += p[1];
+    a.sum[2] += p[2];
+    a.count++;
+  }
+  if (static_cast<int64_t>(cells.size()) > capacity) return -1;
+  int64_t k = 0;
+  for (const auto& kv : cells) {
+    out[k * 3 + 0] = static_cast<float>(kv.second.sum[0] / kv.second.count);
+    out[k * 3 + 1] = static_cast<float>(kv.second.sum[1] / kv.second.count);
+    out[k * 3 + 2] = static_cast<float>(kv.second.sum[2] / kv.second.count);
+    ++k;
+  }
+  return k;
+}
+
+// ---------------------------------------------------------------------------
+// Prefetching batch loader
+// ---------------------------------------------------------------------------
+
+struct Batch {
+  std::vector<float> data;     // batch * max_points * 4
+  std::vector<int64_t> counts; // batch
+  int64_t first_index = 0;     // global sample index of first scan
+  int64_t size = 0;            // live scans in this batch (<= batch)
+};
+
+struct Loader {
+  std::vector<std::string> paths;
+  int64_t max_points;
+  int64_t batch;
+  int64_t depth;
+  bool loop;
+
+  std::vector<std::thread> workers;
+  std::mutex mu;
+  std::condition_variable cv_ready;
+  std::condition_variable cv_space;
+  std::queue<Batch*> ready;
+  int64_t next_batch_index = 0;  // producer cursor (batch units)
+  int64_t total_batches = 0;
+  std::atomic<bool> stop{false};
+
+  // single-producer thread fills batches in order; multiple reader
+  // threads parallelize the per-scan freads inside a batch.
+  int threads_per_batch;
+};
+
+static void fill_batch(Loader* L, Batch* b, int64_t batch_idx) {
+  const int64_t n = static_cast<int64_t>(L->paths.size());
+  const int64_t start = batch_idx * L->batch;
+  const int64_t count = std::min(L->batch, n - start);
+  b->first_index = start;
+  b->size = count;
+  b->data.resize(static_cast<size_t>(L->batch) * L->max_points * 4);
+  b->counts.assign(static_cast<size_t>(L->batch), 0);
+
+  std::atomic<int64_t> cursor{0};
+  auto work = [&]() {
+    int64_t i;
+    while ((i = cursor.fetch_add(1)) < count) {
+      float* dst = b->data.data() +
+                   static_cast<size_t>(i) * L->max_points * 4;
+      int64_t c =
+          dpc_load_scan(L->paths[start + i].c_str(), dst, L->max_points);
+      b->counts[static_cast<size_t>(i)] = c < 0 ? 0 : c;
+    }
+  };
+  std::vector<std::thread> ts;
+  for (int t = 1; t < L->threads_per_batch; ++t) ts.emplace_back(work);
+  work();
+  for (auto& t : ts) t.join();
+  // zero the padding rows of a short batch
+  for (int64_t i = count; i < L->batch; ++i) {
+    std::memset(b->data.data() + static_cast<size_t>(i) * L->max_points * 4,
+                0, static_cast<size_t>(L->max_points) * 4 * sizeof(float));
+  }
+}
+
+static void producer_main(Loader* L) {
+  while (!L->stop.load()) {
+    int64_t idx;
+    {
+      std::unique_lock<std::mutex> lk(L->mu);
+      if (L->next_batch_index >= L->total_batches) {
+        if (!L->loop) break;
+        L->next_batch_index = 0;
+      }
+      idx = L->next_batch_index++;
+      L->cv_space.wait(lk, [L] {
+        return L->stop.load() ||
+               static_cast<int64_t>(L->ready.size()) < L->depth;
+      });
+      if (L->stop.load()) break;
+    }
+    Batch* b = new Batch();
+    fill_batch(L, b, idx);
+    {
+      std::lock_guard<std::mutex> lk(L->mu);
+      L->ready.push(b);
+    }
+    L->cv_ready.notify_one();
+  }
+  {
+    std::lock_guard<std::mutex> lk(L->mu);
+    L->ready.push(nullptr);  // end-of-stream marker
+  }
+  L->cv_ready.notify_all();
+}
+
+// paths: '\n'-separated file list. Returns opaque handle.
+void* dpc_loader_create(const char* paths_joined, int64_t max_points,
+                        int64_t batch, int64_t depth, int threads,
+                        int loop) {
+  Loader* L = new Loader();
+  const char* p = paths_joined;
+  while (*p) {
+    const char* e = std::strchr(p, '\n');
+    if (!e) e = p + std::strlen(p);
+    if (e > p) L->paths.emplace_back(p, e - p);
+    p = *e ? e + 1 : e;
+  }
+  L->max_points = max_points;
+  L->batch = batch;
+  L->depth = depth > 0 ? depth : 2;
+  L->loop = loop != 0;
+  L->threads_per_batch = threads > 0 ? threads : 4;
+  L->total_batches =
+      (static_cast<int64_t>(L->paths.size()) + batch - 1) / batch;
+  L->workers.emplace_back(producer_main, L);
+  return L;
+}
+
+int64_t dpc_loader_num_batches(void* handle) {
+  return static_cast<Loader*>(handle)->total_batches;
+}
+
+// Blocks for the next batch. Copies into out (batch*max_points*4 floats)
+// and counts (batch int64). Returns live-scan count, or -1 at
+// end-of-stream.
+int64_t dpc_loader_next(void* handle, float* out, int64_t* counts) {
+  Loader* L = static_cast<Loader*>(handle);
+  Batch* b;
+  {
+    std::unique_lock<std::mutex> lk(L->mu);
+    L->cv_ready.wait(lk, [L] { return !L->ready.empty(); });
+    b = L->ready.front();
+    L->ready.pop();
+  }
+  L->cv_space.notify_one();
+  if (b == nullptr) return -1;
+  std::memcpy(out, b->data.data(), b->data.size() * sizeof(float));
+  std::memcpy(counts, b->counts.data(),
+              b->counts.size() * sizeof(int64_t));
+  int64_t size = b->size;
+  delete b;
+  return size;
+}
+
+void dpc_loader_destroy(void* handle) {
+  Loader* L = static_cast<Loader*>(handle);
+  L->stop.store(true);
+  L->cv_space.notify_all();
+  L->cv_ready.notify_all();
+  for (auto& t : L->workers) t.join();
+  while (!L->ready.empty()) {
+    delete L->ready.front();
+    L->ready.pop();
+  }
+  delete L;
+}
+
+}  // extern "C"

@@ -1,0 +1,147 @@
+"""CLI end-to-end: build-dataset on a synthetic KITTI tree, split,
+train one epoch, infer from the produced checkpoint, reconstruct,
+stream — the full user workflow in miniature."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from distropointclouds_tpu.cli.main import main
+
+
+@pytest.fixture(scope="module")
+def kitti_tree(tmp_path_factory):
+    """Tiny synthetic KITTI object tree: 3 frames with velodyne, labels,
+    calib."""
+    root = tmp_path_factory.mktemp("kitti")
+    for d in ["velodyne", "label_2", "calib"]:
+        os.makedirs(root / "training" / d)
+    os.makedirs(root / "ImageSets")
+    rng = np.random.default_rng(0)
+    calib_txt = (
+        "P0: 700 0 600 0 0 700 180 0 0 0 1 0\n"
+        "P1: 700 0 600 0 0 700 180 0 0 0 1 0\n"
+        "P2: 700 0 600 44.9 0 700 180 0.1 0 0 1 0.003\n"
+        "P3: 700 0 600 0 0 700 180 0 0 0 1 0\n"
+        "R_rect: 1 0 0 0 1 0 0 0 1\n"
+        "Tr_velo2cam: 0 -1 0 0 0 0 -1 -0.08 1 0 0 -0.27\n"
+    )
+    for i in range(3):
+        pts = rng.uniform(-15, 15, size=(4096, 4)).astype(np.float32)
+        pts[:, 2] = rng.uniform(-2, 2, size=4096)
+        pts[:, 3] = rng.uniform(0, 1, size=4096)
+        pts.tofile(root / "training" / "velodyne" / f"{i:06d}.bin")
+        # one pedestrian at camera coords mapping to lidar x~10
+        with open(root / "training" / "label_2" / f"{i:06d}.txt", "w") as f:
+            f.write(
+                "Pedestrian 0.0 0 0.5 100 150 120 250 1.7 0.6 0.8 "
+                f"{1.0 + i * 0.5:.2f} 1.2 10.0 0.3\n"
+            )
+            f.write("DontCare -1 -1 -10 0 0 0 0 -1 -1 -1 -1000 -1000 -1000 -10\n")
+        with open(root / "training" / "calib" / f"{i:06d}.txt", "w") as f:
+            f.write(calib_txt)
+    with open(root / "ImageSets" / "train.txt", "w") as f:
+        f.writelines(f"{i:06d}\n" for i in range(3))
+    return root
+
+
+def test_cli_build_dataset(kitti_tree, tmp_path):
+    out = tmp_path / "sc"
+    rc = main(
+        [
+            "build-dataset",
+            "--kitti_root", str(kitti_tree),
+            "--out", str(out),
+            "--png",
+        ]
+    )
+    assert rc == 0
+    npys = sorted(os.listdir(out))
+    assert "sc_000000.npy" in npys and "pedestrians_000000.json" in npys
+    assert "sc_000000.png" in npys
+    sc = np.load(out / "sc_000000.npy")
+    assert sc.shape == (160, 720) and sc.dtype == np.float32
+    peds = json.load(open(out / "pedestrians_000000.json"))
+    # Duplicate quirk preserved: label-array + objects sources -> 2 entries
+    assert len(peds) == 2
+    assert abs(peds[0]["x"] - peds[1]["x"]) < 0.1
+    assert peds[0]["covered_cells"]
+
+    # dedupe flag halves it
+    out2 = tmp_path / "sc2"
+    main(
+        [
+            "build-dataset",
+            "--kitti_root", str(kitti_tree),
+            "--out", str(out2),
+            "--dedupe",
+        ]
+    )
+    assert len(json.load(open(out2 / "pedestrians_000000.json"))) == 1
+
+
+def test_cli_split(tmp_path):
+    rc = main(
+        ["split", "--out", str(tmp_path), "--num_ids", "100",
+         "--val_fraction", "0.3"]
+    )
+    assert rc == 0
+    train = open(tmp_path / "train.txt").read().split()
+    val = open(tmp_path / "val.txt").read().split()
+    assert len(train) == 70 and len(val) == 30
+    assert not set(train) & set(val)
+
+
+def test_cli_train_infer_roundtrip(kitti_tree, tmp_path):
+    sc_dir = tmp_path / "sc"
+    main(["build-dataset", "--kitti_root", str(kitti_tree), "--out", str(sc_dir)])
+    ckpt = tmp_path / "ckpt"
+    rc = main(
+        [
+            "train",
+            "--sc_dir", str(sc_dir),
+            "--trainer", "a",
+            "--epochs", "1",
+            "--batch_size", "2",
+            "--ckpt_dir", str(ckpt),
+        ]
+    )
+    assert rc == 0
+    assert os.path.exists(ckpt / "last.meta.json")
+
+    rc = main(
+        [
+            "infer",
+            "--model", "tiny_cnn",
+            "--ckpt", str(ckpt),
+            "--tag", "last",
+            "--sc_npy", str(sc_dir / "sc_000000.npy"),
+            "--out_json", str(tmp_path / "dets.json"),
+        ]
+    )
+    assert rc == 0
+    json.load(open(tmp_path / "dets.json"))  # valid JSON list
+
+
+def test_cli_reconstruct(kitti_tree, tmp_path, monkeypatch):
+    sc_dir = tmp_path / "sc"
+    main(["build-dataset", "--kitti_root", str(kitti_tree), "--out", str(sc_dir)])
+    monkeypatch.chdir(tmp_path)
+    rc = main(["reconstruct", str(sc_dir / "sc_000001.npy")])
+    assert rc == 0
+    ply = open(tmp_path / "sc_000001.ply").read(300)
+    assert "ply" in ply and "element vertex" in ply
+    # red covered-cell points present
+    assert " 255 0 0" in open(tmp_path / "sc_000001.ply").read()
+
+
+def test_cli_stream(kitti_tree, tmp_path):
+    bins = [
+        str(kitti_tree / "training" / "velodyne" / f"{i:06d}.bin")
+        for i in range(3)
+    ]
+    rc = main(["stream", *bins, "--out", str(tmp_path / "out")])
+    assert rc == 0
+    assert len(os.listdir(tmp_path / "out")) == 3
