@@ -27,11 +27,18 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# Persistent compile cache: first-ever run pays the (slow, remote)
+# compile once; subsequent bench runs start in seconds.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("DPC_JAX_CACHE", os.path.join(os.path.dirname(__file__), ".jax_cache")),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 REFERENCE_CPU_DESCRIPTOR_SCANS_PER_SEC = 85.0  # SURVEY §6, measured
-BATCH = int(os.environ.get("DPC_BENCH_BATCH", "16"))
+BATCH = int(os.environ.get("DPC_BENCH_BATCH", "64"))
 WARMUP = 3
-ITERS = int(os.environ.get("DPC_BENCH_ITERS", "20"))
+ITERS = int(os.environ.get("DPC_BENCH_ITERS", "10"))
 
 
 def main():
