@@ -132,6 +132,7 @@ def components_to_detections(
     min_pixels: int = 20,
     capacity: int = 64,
     max_iters: int = 64,
+    stats_impl: str = "auto",
 ) -> Detections:
     """Connected components -> centroid detections
     (tiny_sc_ped.py:196-215): components smaller than ``min_pixels`` are
@@ -139,11 +140,22 @@ def components_to_detections(
     pixels and its area as the score. Fixed capacity, sorted by area
     descending.
 
-    Component statistics use the sort-based segmented reduction: sort
-    pixels by component id, scan sums within runs, take run ends.
+    Two statistics backends:
+    - "onehot" (default for capacity <= 128): pick up to ``capacity``
+      component roots, then compute per-component (count, sum_r, sum_s)
+      as ONE [capacity, H*W] x [H*W, 3] masked matmul on the MXU —
+      far cheaper than sorting when capacity is small. If the mask has
+      more components than capacity, the *smallest-root* components are
+      kept (use the sort backend for unbounded component counts).
+    - "sort": sort pixels by component id + segmented scan + run ends;
+      exact for any number of components.
     """
     H, W = mask.shape
+    if stats_impl == "auto":
+        stats_impl = "onehot" if capacity <= 128 else "sort"
     label = connected_components(mask, max_iters).reshape(-1)
+    if stats_impl == "onehot":
+        return _component_stats_onehot(label, mask, min_pixels, capacity, H, W)
     rr = (jnp.arange(H * W, dtype=jnp.float32) // W)
     ss = (jnp.arange(H * W, dtype=jnp.float32) % W)
 
@@ -181,6 +193,46 @@ def components_to_detections(
         ring=jnp.where(valid, cr, 0.0),
         sector=jnp.where(valid, cs, 0.0),
         score=jnp.where(valid, top_area, 0.0),
+        valid=valid,
+    )
+
+
+def _component_stats_onehot(
+    label: jnp.ndarray,
+    mask: jnp.ndarray,
+    min_pixels: int,
+    capacity: int,
+    H: int,
+    W: int,
+) -> Detections:
+    """Component stats via a [capacity, H*W] one-hot matmul (see
+    components_to_detections)."""
+    flat = jnp.arange(H * W, dtype=jnp.int32)
+    is_root = (label == flat) & mask.reshape(-1)
+    # Select up to `capacity` roots (smallest flat index first): top_k on
+    # the negated index of root pixels.
+    root_score = jnp.where(is_root, -flat, -(H * W + 1))
+    top, _ = jax.lax.top_k(root_score, capacity)
+    roots = -top  # ascending root ids; invalid slots = H*W + 1
+    root_valid = roots <= H * W - 1
+
+    onehot = (label[None, :] == roots[:, None]).astype(jnp.float32)
+    rr = (flat // W).astype(jnp.float32)
+    ss = (flat % W).astype(jnp.float32)
+    feats = jnp.stack([jnp.ones_like(rr), rr, ss], axis=-1)  # [H*W, 3]
+    stats = onehot @ feats  # [capacity, 3] on the MXU
+    area = stats[:, 0]
+    valid = root_valid & (area >= min_pixels)
+    # Order by area descending like the sort backend.
+    order = jnp.argsort(jnp.where(valid, -area, jnp.inf))
+    area = area[order]
+    valid = valid[order]
+    cr = stats[:, 1][order] / jnp.maximum(area, 1.0)
+    cs = stats[:, 2][order] / jnp.maximum(area, 1.0)
+    return Detections(
+        ring=jnp.where(valid, cr, 0.0),
+        sector=jnp.where(valid, cs, 0.0),
+        score=jnp.where(valid, area, 0.0),
         valid=valid,
     )
 

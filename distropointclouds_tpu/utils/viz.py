@@ -224,6 +224,83 @@ def draw_boxes_in_bev(
     return rgb_map
 
 
+def show_image_with_boxes(
+    img: np.ndarray,
+    objects,
+    calib,
+) -> np.ndarray:
+    """Camera image with projected 3D boxes (visualization_utils.py:151-164
+    / kitti_data_utils.py:415-438 draw_projected_box3d), headless —
+    returns the drawn image instead of opening a window."""
+    import cv2
+    import jax.numpy as jnp
+
+    from ..bev.kitti_format import compute_box_3d_camera
+    from ..geometry import calib as C
+
+    out = img.copy()
+    for obj in objects:
+        corners = np.asarray(
+            compute_box_3d_camera(
+                jnp.float32(obj.h), jnp.float32(obj.w), jnp.float32(obj.l),
+                jnp.asarray(np.asarray(obj.t, np.float32)), jnp.float32(obj.ry),
+            )
+        )
+        if np.any(corners[:, 2] < 0.1):  # behind camera
+            continue
+        uv = np.asarray(
+            C.rect_to_image(jnp.asarray(corners), jnp.asarray(calib.P2))
+        ).astype(np.int32)
+        # 12 box edges (kitti_data_utils.py:427-437)
+        for k in range(4):
+            for a, b in [(k, (k + 1) % 4), (k + 4, (k + 1) % 4 + 4), (k, k + 4)]:
+                cv2.line(
+                    out, tuple(uv[a]), tuple(uv[b]), (255, 0, 255), 2
+                )
+    return out
+
+
+def draw_lidar_points_on_image(
+    img: np.ndarray,
+    pts_velo: np.ndarray,
+    calib,
+    max_dist: float = 60.0,
+) -> np.ndarray:
+    """Project LiDAR points into the camera image colored by depth
+    (visualization_utils_cv.py:166-206), headless."""
+    import cv2
+    import jax.numpy as jnp
+    import matplotlib.cm as cm
+
+    from ..geometry import calib as C
+
+    out = img.copy()
+    pts = jnp.asarray(np.asarray(pts_velo[:, :3], np.float32))
+    fov = np.asarray(
+        C.lidar_points_in_image_fov(
+            pts, jnp.asarray(calib.V2C), jnp.asarray(calib.R0),
+            jnp.asarray(calib.P2), 0, 0, img.shape[1], img.shape[0],
+        )
+    )
+    uv = np.asarray(
+        C.velo_to_image(
+            pts, jnp.asarray(calib.V2C), jnp.asarray(calib.R0),
+            jnp.asarray(calib.P2),
+        )
+    )
+    depth = np.linalg.norm(np.asarray(pts_velo[:, :3]), axis=1)
+    colors = (cm.jet(np.clip(depth / max_dist, 0, 1))[:, :3] * 255).astype(int)
+    for i in np.nonzero(fov)[0]:
+        cv2.circle(
+            out,
+            (int(uv[i, 0]), int(uv[i, 1])),
+            1,
+            tuple(int(c) for c in colors[i]),
+            -1,
+        )
+    return out
+
+
 def heights_to_colors(z: np.ndarray) -> np.ndarray:
     """Viridis-style height coloring for reconstructed clouds
     (reconstruct_pointcloud visualization)."""
