@@ -135,7 +135,8 @@ class DetectorConfig:
     band_edges: Tuple[int, ...] = (60, 120)
     band_thresholds: Tuple[float, ...] = (0.5, 0.4, 0.3)
     # Connected-components: max label-propagation sweeps on device
-    cc_max_iters: int = 64
+    # (convergence = component diameter in sweeps; sweeps are cheap)
+    cc_max_iters: int = 1024
 
 
 @dataclasses.dataclass(frozen=True)

@@ -41,6 +41,7 @@ def fit(
     log_path: Optional[str] = None,
     resume: bool = False,
     eval_threshold: float = 0.35,
+    mesh=None,
 ) -> Tuple[TrainState, Dict[str, float]]:
     """Train per the given TrainConfig; returns (best_state, final metrics).
 
@@ -68,8 +69,26 @@ def fit(
         jnp.zeros((1, cfg.height, cfg.width, 1)),
         steps_per_epoch,
     )
-    train_step = jax.jit(make_train_step(model, tx, cfg))
-    eval_step = jax.jit(make_eval_step(model, cfg))
+    if mesh is not None:
+        # Data-parallel: replicated state, batch sharded over 'data'.
+        # XLA inserts the gradient all-reduce over ICI (SURVEY §2.4).
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())
+        bshard = NamedSharding(mesh, P("data"))
+        train_step = jax.jit(
+            make_train_step(model, tx, cfg),
+            in_shardings=(repl, bshard),
+            out_shardings=(repl, repl),
+        )
+        eval_step = jax.jit(
+            make_eval_step(model, cfg),
+            in_shardings=(repl, bshard),
+            out_shardings=(repl, repl),
+        )
+    else:
+        train_step = jax.jit(make_train_step(model, tx, cfg))
+        eval_step = jax.jit(make_eval_step(model, cfg))
     targets_train = jax.jit(
         lambda b, k: build_targets(b, cfg, k)
     )

@@ -150,6 +150,42 @@ def test_detections_to_kitti_format(kitti_tree):
     assert len(objs) == 1 and objs[0].type == "Pedestrian"
 
 
+def test_bev_loader(kitti_tree, tmp_path):
+    """create_bev_loader end-to-end: train (filtered, augmented) and val
+    (ordered, clean) streams."""
+    import os
+
+    from distropointclouds_tpu.bev.loader import (
+        BevLoaderConfig,
+        create_bev_loader,
+    )
+
+    paths = KittiPaths(str(kitti_tree))
+    os.makedirs(kitti_tree / "ImageSets", exist_ok=True)
+    with open(kitti_tree / "ImageSets" / "train.txt", "w") as f:
+        f.writelines(f"{i:06d}\n" for i in range(3))
+    with open(kitti_tree / "ImageSets" / "val.txt", "w") as f:
+        f.writelines(f"{i:06d}\n" for i in range(3))
+
+    cfg = BevLoaderConfig(batch_size=1, hflip_prob=1.0)
+    batches = list(create_bev_loader(paths, "train", cfg))
+    # only sample 0 survives filtering
+    assert len(batches) == 1
+    b = batches[0]
+    assert b["bev"].shape == (1, 608, 608, 3)
+    assert b["targets"].shape[1:] == (50, 7)
+    assert b["valid"].sum() == 1
+
+    val = list(create_bev_loader(paths, "val", cfg))
+    assert len(val) == 3  # unfiltered
+
+    # mosaic mode: 4x target capacity, double-size canvas
+    cfgm = BevLoaderConfig(batch_size=1, mosaic=True)
+    bm = next(iter(create_bev_loader(paths, "train", cfgm)))
+    assert bm["bev"].shape == (1, 1216, 1216, 3)
+    assert bm["targets"].shape[1] == 200
+
+
 def test_merge_rgb_to_bev():
     rgb = np.zeros((370, 1224, 3), np.uint8)
     bev = np.ones((608, 608, 3), np.uint8) * 255

