@@ -289,6 +289,64 @@ def cmd_stream(args) -> int:
     return 0
 
 
+def cmd_throughput(args) -> int:
+    """Production-shaped serving loop: the C++ prefetching loader feeds
+    .bin batches into the jitted pipeline with pipelined dispatch;
+    reports scans/sec including host IO."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..core.config import PipelineConfig
+    from ..core.types import PointBatch
+    from ..io.native import NativeScanLoader, native_available
+    from ..pipeline import jit_pipeline
+
+    variables = _load_variables(args)
+    cfg = PipelineConfig()
+    fn = jit_pipeline(args.model, cfg, args.postprocess)
+    files = list(args.bins) * args.repeat
+    loader = NativeScanLoader(
+        files, cfg.scan_context.max_points, args.batch, depth=3,
+        threads=args.threads,
+    )
+    print(f"native loader: {native_available()}; {len(files)} scans")
+    # Warmup/compile on the first batch.
+    it = iter(loader)
+    data, counts, n = next(it)
+    batch = PointBatch(
+        xyzi=jnp.asarray(data), count=jnp.asarray(counts, jnp.int32)
+    )
+    jax.block_until_ready(fn(variables, batch))
+
+    t0 = time.perf_counter()
+    total = n
+    pending = []
+    for data, counts, n in it:
+        batch = PointBatch(
+            xyzi=jnp.asarray(data), count=jnp.asarray(counts, jnp.int32)
+        )
+        pending.append(fn(variables, batch))
+        if len(pending) > 2:
+            jax.block_until_ready(pending.pop(0))
+        total += n
+    for p in pending:
+        jax.block_until_ready(p)
+    dt = time.perf_counter() - t0
+    loader.close()
+    print(
+        json.dumps(
+            {
+                "scans": total,
+                "seconds": round(dt, 3),
+                "scans_per_sec": round((total - args.batch) / dt, 1),
+            }
+        )
+    )
+    return 0
+
+
 def cmd_bench(args) -> int:
     import runpy
 
@@ -374,6 +432,17 @@ def build_parser() -> argparse.ArgumentParser:
     st.add_argument("--max_length", type=float, default=80.0)
     st.add_argument("--png", action="store_true")
     st.set_defaults(fn=cmd_stream)
+
+    tp = sub.add_parser("throughput", help=cmd_throughput.__doc__)
+    tp.add_argument("bins", nargs="+")
+    tp.add_argument("--model", default="tiny_cnn")
+    tp.add_argument("--ckpt", required=True)
+    tp.add_argument("--tag", default="best")
+    tp.add_argument("--postprocess", default="components")
+    tp.add_argument("--batch", type=int, default=64)
+    tp.add_argument("--repeat", type=int, default=4)
+    tp.add_argument("--threads", type=int, default=4)
+    tp.set_defaults(fn=cmd_throughput)
 
     be = sub.add_parser("bench", help=cmd_bench.__doc__)
     be.set_defaults(fn=cmd_bench)

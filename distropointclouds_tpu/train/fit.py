@@ -123,6 +123,7 @@ def fit(
         ious: List[float] = []
         tp = fp = fn = 0
         pix = {"tp": 0.0, "fp": 0.0, "fn": 0.0}
+        band_pix: Dict[str, Dict[str, float]] = {}
         for batch in epoch_batches(
             data, idx, cfg.batch_size, host_rng, shuffle=False
         ):
@@ -164,6 +165,17 @@ def fit(
                 pm = M.pixel_metrics(jnp.asarray(p), jnp.asarray(t))
                 for k in ("tp", "fp", "fn"):
                     pix[k] += float(pm[k])
+                if cfg.model == "sc_unet":
+                    # Range-stratified bands with banded thresholds
+                    # (tiny_sc_pred_v2.py:303-410).
+                    for band, bm in M.range_stratified_metrics(
+                        jnp.asarray(p), jnp.asarray(t)
+                    ).items():
+                        acc = band_pix.setdefault(
+                            band, {"tp": 0.0, "fp": 0.0, "fn": 0.0}
+                        )
+                        for k in ("tp", "fp", "fn"):
+                            acc[k] += float(bm[k])
         out = {"loss": float(np.mean(losses)), "iou": float(np.mean(ious))}
         if cfg.model == "tiny_unet":
             out.update(M.precision_recall_f1(tp, fp, fn))
@@ -171,10 +183,16 @@ def fit(
             out.update(
                 M.precision_recall_f1(int(pix["tp"]), int(pix["fp"]), int(pix["fn"]))
             )
+            for band, acc in band_pix.items():
+                bf = M.precision_recall_f1(
+                    int(acc["tp"]), int(acc["fp"]), int(acc["fn"])
+                )
+                out[f"{band}_f1"] = bf["f1"]
         return out
 
     patience_left = cfg.early_stop_patience or np.inf
     best_state = state
+    history: Dict[str, List[float]] = {}
     for epoch in range(start_epoch, cfg.epochs + 1):
         t0 = time.time()
         train_losses = []
@@ -196,6 +214,9 @@ def fit(
             **{f"val_{k}": v for k, v in val.items()},
         }
         log(rec)
+        for k, v in rec.items():
+            if isinstance(v, (int, float)) and k != "epoch":
+                history.setdefault(k, []).append(float(v))
         print(
             f"[epoch {epoch:03d}] train_loss={train_loss:.4f} "
             + " ".join(f"val_{k}={v:.4f}" for k, v in val.items())
@@ -221,4 +242,14 @@ def fit(
         print("test:", final)
     if log_f:
         log_f.close()
+    if history:
+        # Training-history curves (tiny_sc_pred_v2.py:611-662).
+        try:
+            from ..utils.viz import plot_training_history
+
+            plot_training_history(
+                history, os.path.join(cfg.ckpt_dir, "training_history.png")
+            )
+        except Exception:
+            pass
     return best_state, final
