@@ -42,6 +42,7 @@ def fit(
     resume: bool = False,
     eval_threshold: float = 0.35,
     mesh=None,
+    eval_only: bool = False,
 ) -> Tuple[TrainState, Dict[str, float]]:
     """Train per the given TrainConfig; returns (best_state, final metrics).
 
@@ -189,6 +190,19 @@ def fit(
                 )
                 out[f"{band}_f1"] = bf["f1"]
         return out
+
+    if eval_only:
+        # train_sc_ped.py:504-511 --eval_only: reload best and evaluate.
+        if ckpt.has("best"):
+            state, _ = ckpt.restore("best", state)
+        val = {f"val_{k}": v for k, v in run_eval(va_idx).items()}
+        test = {f"test_{k}": v for k, v in run_eval(te_idx).items()}
+        out = {**val, **test}
+        log({"eval_only": out})
+        print("eval_only:", out)
+        if log_f:
+            log_f.close()
+        return state, out
 
     patience_left = cfg.early_stop_patience or np.inf
     best_state = state
