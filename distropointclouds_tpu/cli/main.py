@@ -141,6 +141,7 @@ def cmd_train(args) -> int:
     state, final = fit(
         data, cfg, log_path=args.log or os.path.join(cfg.ckpt_dir, "log.jsonl"),
         resume=args.resume, eval_only=args.eval_only,
+        vis_dir=args.vis_dir,
     )
     print("done:", final)
     return 0
@@ -392,6 +393,8 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--ckpt_dir", default=None)
     t.add_argument("--log", default=None)
     t.add_argument("--resume", action="store_true")
+    t.add_argument("--vis_dir", default=None,
+                   help="save per-epoch validation overlays here (runs/val_images)")
     t.add_argument("--eval_only", action="store_true",
                    help="reload best checkpoint and evaluate (train_sc_ped --eval_only)")
     t.set_defaults(fn=cmd_train)

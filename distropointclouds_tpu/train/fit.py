@@ -43,6 +43,7 @@ def fit(
     eval_threshold: float = 0.35,
     mesh=None,
     eval_only: bool = False,
+    vis_dir: Optional[str] = None,
 ) -> Tuple[TrainState, Dict[str, float]]:
     """Train per the given TrainConfig; returns (best_state, final metrics).
 
@@ -117,9 +118,10 @@ def fit(
             log_f.write(json.dumps(rec) + "\n")
             log_f.flush()
 
-    def run_eval(idx: np.ndarray) -> Dict[str, float]:
+    def run_eval(idx: np.ndarray, epoch: int = 0) -> Dict[str, float]:
         if len(idx) == 0:
             return {}
+        saved_vis = False
         losses: List[float] = []
         ious: List[float] = []
         tp = fp = fn = 0
@@ -135,6 +137,26 @@ def fit(
             ious.append(float(aux["iou"]))
             p = np.asarray(probs)[..., 0][:n_real]
             t = np.asarray(dev["target"])[..., 0][:n_real]
+            if vis_dir and not saved_vis and n_real:
+                # Per-epoch validation overlay (train_sc_ped.py:107-129,
+                # 455-459: background SC + predicted heat + GT centers).
+                try:
+                    from ..utils.viz import save_overlay
+
+                    os.makedirs(vis_dir, exist_ok=True)
+                    centers0 = [
+                        tuple(map(int, np.asarray(batch["centers"])[0, j]))
+                        for j in range(batch["ped_valid"].shape[1])
+                        if np.asarray(batch["ped_valid"])[0, j]
+                    ]
+                    save_overlay(
+                        np.asarray(batch["sc"])[0], p[0], centers0,
+                        os.path.join(vis_dir, f"val_epoch{epoch:03d}.png"),
+                        cfg.clip_abs_z,
+                    )
+                    saved_vis = True
+                except Exception:
+                    saved_vis = True
             if cfg.model == "tiny_unet":
                 # center matching against GT centers (train_sc_ped eval)
                 centers = np.asarray(batch["centers"])[:n_real]
@@ -219,7 +241,7 @@ def fit(
             train_losses.append(aux["loss"])
         train_loss = float(jnp.mean(jnp.stack(train_losses)))
 
-        val = run_eval(va_idx)
+        val = run_eval(va_idx, epoch)
         sel = val.get("f1" if cfg.model != "tiny_cnn" else "iou", 0.0)
         rec = {
             "epoch": epoch,
