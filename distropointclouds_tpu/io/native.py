@@ -80,6 +80,78 @@ def _load_library(build_if_missing: bool = True):
     return _LIB
 
 
+class _ScParams(ctypes.Structure):
+    _fields_ = [
+        ("num_ring", ctypes.c_int32),
+        ("num_sector", ctypes.c_int32),
+        ("max_length", ctypes.c_float),
+        ("edge_drop", ctypes.c_int32),
+        ("full_height_range", ctypes.c_int32),
+        ("height_offset", ctypes.c_float),
+        ("zero_substitution", ctypes.c_int32),
+    ]
+
+
+def _sc_params(cfg) -> _ScParams:
+    from ..core.config import EdgePolicy
+
+    return _ScParams(
+        num_ring=cfg.num_ring,
+        num_sector=cfg.num_sector,
+        max_length=cfg.max_length,
+        edge_drop=int(cfg.edge_policy == EdgePolicy.DROP),
+        full_height_range=int(cfg.use_full_height_range),
+        height_offset=cfg.height_offset,
+        zero_substitution=int(cfg.zero_substitution),
+    )
+
+
+def _bind_sc(lib):
+    if hasattr(lib, "_sc_bound"):
+        return
+    lib.dpc_scan_context.restype = ctypes.c_int32
+    lib.dpc_scan_context.argtypes = [
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(_ScParams),
+        ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.dpc_loader_enable_sc.restype = None
+    lib.dpc_loader_enable_sc.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(_ScParams)
+    ]
+    lib.dpc_loader_next_sc.restype = ctypes.c_int64
+    lib.dpc_loader_next_sc.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_float),
+    ]
+    lib._sc_bound = True
+
+
+def scan_context_host(points: np.ndarray, cfg) -> np.ndarray:
+    """C++ scatter-max descriptor (exact golden-v2 float32 semantics;
+    parity-tested against the golden fixtures). ``points``: (N, >=3)."""
+    lib = _load_library()
+    if lib is None:
+        raise RuntimeError("native library unavailable; build native/")
+    _bind_sc(lib)
+    pts = np.ascontiguousarray(points, dtype=np.float32)
+    stride = pts.shape[1]
+    grid = np.empty((cfg.num_ring, cfg.num_sector), np.float32)
+    p = _sc_params(cfg)
+    lib.dpc_scan_context(
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        len(pts),
+        stride,
+        ctypes.byref(p),
+        grid.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return grid
+
+
 def native_available() -> bool:
     return _load_library() is not None
 
@@ -147,6 +219,7 @@ class NativeScanLoader:
         depth: int = 2,
         threads: int = 4,
         loop: bool = False,
+        descriptor_config=None,
     ):
         self.paths = list(paths)
         self.max_points = max_points
@@ -156,17 +229,43 @@ class NativeScanLoader:
         self._loop = loop
         self._depth = depth
         self._threads = threads
+        self.descriptor_config = descriptor_config
         if self._lib is not None:
             joined = "\n".join(self.paths).encode()
             self._handle = self._lib.dpc_loader_create(
                 joined, max_points, batch, depth, threads, int(loop)
             )
+            if descriptor_config is not None:
+                _bind_sc(self._lib)
+                self._sc_params = _sc_params(descriptor_config)
+                self._lib.dpc_loader_enable_sc(
+                    self._handle, ctypes.byref(self._sc_params)
+                )
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray, int]]:
+        """Yields (data, counts, n_live). In descriptor mode (a
+        ScanContextConfig passed at construction), ``data`` is the
+        [batch, R, S] grid batch computed by the C++ workers; otherwise
+        the [batch, max_points, 4] padded points."""
+        dc = self.descriptor_config
         if self._handle is not None:
             while True:
-                data = np.empty((self.batch, self.max_points, 4), np.float32)
                 counts = np.empty((self.batch,), np.int64)
+                if dc is not None:
+                    grids = np.empty(
+                        (self.batch, dc.num_ring, dc.num_sector), np.float32
+                    )
+                    n = self._lib.dpc_loader_next_sc(
+                        self._handle,
+                        None,
+                        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                        grids.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                    )
+                    if n < 0:
+                        return
+                    yield grids, counts, int(n)
+                    continue
+                data = np.empty((self.batch, self.max_points, 4), np.float32)
                 n = self._lib.dpc_loader_next(
                     self._handle,
                     data.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
@@ -176,6 +275,9 @@ class NativeScanLoader:
                     return
                 yield data, counts, int(n)
         else:  # numpy fallback, same batching semantics
+            from ..core.types import PointBatch
+            from ..ops.scan_context import scan_context
+
             while True:
                 for start in range(0, len(self.paths), self.batch):
                     sel = self.paths[start : start + self.batch]
@@ -187,7 +289,17 @@ class NativeScanLoader:
                         data[i], counts[i] = load_scan_padded(
                             p, self.max_points
                         )
-                    yield data, counts, len(sel)
+                    if dc is not None:
+                        import jax.numpy as jnp
+
+                        pb = PointBatch(
+                            xyzi=jnp.asarray(data),
+                            count=jnp.asarray(counts, jnp.int32),
+                        )
+                        grids = np.asarray(scan_context(pb, dc))
+                        yield grids, counts, len(sel)
+                    else:
+                        yield data, counts, len(sel)
                 if not self._loop:
                     return
 

@@ -61,7 +61,9 @@ def extract_peaks(
     """
     thr = cfg.peak_threshold if threshold is None else threshold
     H, W = heat.shape[-2:]
-    keep = peak_nms_mask(heat, cfg.peak_nms_kernel, thr)
+    from .pallas_kernels import peak_nms_mask_fast
+
+    keep = peak_nms_mask_fast(heat, cfg.peak_nms_kernel, thr)
     scores = jnp.where(keep, heat, -jnp.inf).reshape(heat.shape[:-2] + (H * W,))
     k = min(cfg.peak_topk, H * W)
     top, idx = jax.lax.top_k(scores, k)

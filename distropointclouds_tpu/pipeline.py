@@ -93,7 +93,9 @@ def build_pipeline(
                 )
             )(mask)
         elif postprocess == "peaks":
-            out["detections"] = jax.vmap(lambda h: extract_peaks(h, det))(probs)
+            # extract_peaks is natively batched (the Pallas NMS kernel
+            # grids over the batch dim; top_k batches over leading dims).
+            out["detections"] = extract_peaks(probs, det)
         elif postprocess == "banded":
             mask = banded_threshold(probs, det)
             out["detections"] = jax.vmap(

@@ -23,6 +23,7 @@
 
 #include <atomic>
 #include <cmath>
+#include <limits>
 #include <condition_variable>
 #include <cstdint>
 #include <cstdio>
@@ -61,6 +62,79 @@ int64_t dpc_load_scan(const char* path, float* out, int64_t max_points) {
   }
   std::memset(out + got, 0, (want - got) * sizeof(float));
   return static_cast<int64_t>(got / 4);
+}
+
+// ---------------------------------------------------------------------------
+// Scan-context descriptor (host fast path)
+// ---------------------------------------------------------------------------
+//
+// Exact golden-v2 semantics (scaner_version2.py:64-115 float32 math):
+// x/y==0 -> 0.001, theta = atan2 deg mod 360, ring = min(floor(r/gap),
+// R-1) [clamp policy] or dropped beyond max_length [drop policy], sector
+// floor + clip, scatter-max of z, empty cells -> 0. The per-cell grid
+// (R*S*4 bytes = 450 KB) lives in L2, so the random-access scatter that
+// is slow on TPUs (no atomics, vector-wide memory) runs at a few cycles
+// per point here. Used by the loader's descriptor mode so the device
+// receives dense grids (8x smaller than raw points) and spends its time
+// on the CNN.
+
+struct ScParams {
+  int32_t num_ring;
+  int32_t num_sector;
+  float max_length;
+  int32_t edge_drop;          // 0 = clamp (golden), 1 = drop
+  int32_t full_height_range;  // 1 = raw z, 0 = z + offset
+  float height_offset;
+  int32_t zero_substitution;  // 1 = x/y==0 -> 0.001
+};
+
+int32_t dpc_scan_context(const float* xyzi, int64_t n, int64_t stride,
+                         const ScParams* p, float* out_grid) {
+  const int32_t R = p->num_ring, S = p->num_sector;
+  const float gap_ring = p->max_length / static_cast<float>(R);
+  const float gap_sector = 360.0f / static_cast<float>(S);
+  const float NEG = -std::numeric_limits<float>::infinity();
+  std::vector<float> grid(static_cast<size_t>(R) * S,
+                          p->full_height_range ? NEG : 0.0f);
+  const float rad2deg = 180.0f / static_cast<float>(M_PI);
+  for (int64_t i = 0; i < n; ++i) {
+    float x = xyzi[i * stride + 0];
+    float y = xyzi[i * stride + 1];
+    float z = xyzi[i * stride + 2];
+    if (p->zero_substitution) {
+      if (x == 0.0f) x = 0.001f;
+      if (y == 0.0f) y = 0.001f;
+    }
+    if (!p->full_height_range) z += p->height_offset;
+    float theta = std::atan2(y, x) * rad2deg;
+    theta = std::fmod(theta, 360.0f);
+    if (theta < 0.0f) theta += 360.0f;  // numpy % semantics
+    float r = std::sqrt(x * x + y * y);
+    int32_t ring, sector;
+    if (p->edge_drop) {
+      if (!(r <= p->max_length)) continue;
+      ring = static_cast<int32_t>(std::floor(r / gap_ring));
+      if (ring < 0) ring = 0;
+      if (ring > R - 1) ring = R - 1;
+    } else {
+      float fr = std::floor(r / gap_ring);
+      float clamped = fr < static_cast<float>(R - 1)
+                          ? fr
+                          : static_cast<float>(R - 1);
+      ring = static_cast<int32_t>(clamped);
+    }
+    sector = static_cast<int32_t>(std::floor(theta / gap_sector));
+    if (sector > S - 1) sector = S - 1;
+    if (sector < 0) sector = 0;
+    float& cell = grid[static_cast<size_t>(ring) * S + sector];
+    if (z > cell) cell = z;
+  }
+  if (p->full_height_range) {
+    for (auto& v : grid)
+      if (v == NEG) v = 0.0f;
+  }
+  std::memcpy(out_grid, grid.data(), grid.size() * sizeof(float));
+  return 0;
 }
 
 // ---------------------------------------------------------------------------
@@ -119,6 +193,7 @@ int64_t dpc_voxel_downsample(const float* in, int64_t n, float voxel,
 
 struct Batch {
   std::vector<float> data;     // batch * max_points * 4
+  std::vector<float> grids;    // batch * R * S (descriptor mode only)
   std::vector<int64_t> counts; // batch
   int64_t first_index = 0;     // global sample index of first scan
   int64_t size = 0;            // live scans in this batch (<= batch)
@@ -143,6 +218,10 @@ struct Loader {
   // single-producer thread fills batches in order; multiple reader
   // threads parallelize the per-scan freads inside a batch.
   int threads_per_batch;
+
+  // Descriptor mode: compute scan-context grids in the workers.
+  bool sc_enabled = false;
+  ScParams sc{};
 };
 
 static void fill_batch(Loader* L, Batch* b, int64_t batch_idx) {
@@ -154,6 +233,14 @@ static void fill_batch(Loader* L, Batch* b, int64_t batch_idx) {
   b->data.resize(static_cast<size_t>(L->batch) * L->max_points * 4);
   b->counts.assign(static_cast<size_t>(L->batch), 0);
 
+  const size_t grid_elems =
+      L->sc_enabled
+          ? static_cast<size_t>(L->sc.num_ring) * L->sc.num_sector
+          : 0;
+  if (L->sc_enabled) {
+    b->grids.assign(static_cast<size_t>(L->batch) * grid_elems, 0.0f);
+  }
+
   std::atomic<int64_t> cursor{0};
   auto work = [&]() {
     int64_t i;
@@ -163,6 +250,10 @@ static void fill_batch(Loader* L, Batch* b, int64_t batch_idx) {
       int64_t c =
           dpc_load_scan(L->paths[start + i].c_str(), dst, L->max_points);
       b->counts[static_cast<size_t>(i)] = c < 0 ? 0 : c;
+      if (L->sc_enabled && c > 0) {
+        dpc_scan_context(dst, c, 4, &L->sc,
+                         b->grids.data() + static_cast<size_t>(i) * grid_elems);
+      }
     }
   };
   std::vector<std::thread> ts;
@@ -232,6 +323,38 @@ void* dpc_loader_create(const char* paths_joined, int64_t max_points,
 
 int64_t dpc_loader_num_batches(void* handle) {
   return static_cast<Loader*>(handle)->total_batches;
+}
+
+// Enable descriptor mode. Must be called before the first
+// dpc_loader_next* call (the producer thread reads the params).
+void dpc_loader_enable_sc(void* handle, const ScParams* params) {
+  Loader* L = static_cast<Loader*>(handle);
+  L->sc = *params;
+  L->sc_enabled = true;
+}
+
+// Like dpc_loader_next but also copies the per-scan descriptor grids
+// (batch * R * S floats). Requires dpc_loader_enable_sc.
+int64_t dpc_loader_next_sc(void* handle, float* out_points,
+                           int64_t* counts, float* out_grids) {
+  Loader* L = static_cast<Loader*>(handle);
+  Batch* b;
+  {
+    std::unique_lock<std::mutex> lk(L->mu);
+    L->cv_ready.wait(lk, [L] { return !L->ready.empty(); });
+    b = L->ready.front();
+    L->ready.pop();
+  }
+  L->cv_space.notify_one();
+  if (b == nullptr) return -1;
+  if (out_points)
+    std::memcpy(out_points, b->data.data(), b->data.size() * sizeof(float));
+  std::memcpy(counts, b->counts.data(), b->counts.size() * sizeof(int64_t));
+  if (out_grids && !b->grids.empty())
+    std::memcpy(out_grids, b->grids.data(), b->grids.size() * sizeof(float));
+  int64_t size = b->size;
+  delete b;
+  return size;
 }
 
 // Blocks for the next batch. Copies into out (batch*max_points*4 floats)

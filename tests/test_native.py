@@ -96,6 +96,84 @@ def test_voxel_downsample_host_matches_numpy(rng):
     )
 
 
+@pytest.mark.parametrize("scan_id", ["000840", "002073", "002095", "002160"])
+def test_host_descriptor_bit_exact(reference_available, scan_id):
+    """The C++ scatter-max descriptor is bit-exact against every golden
+    fixture (it reproduces the float32 libm semantics of the original
+    generator exactly)."""
+    from distropointclouds_tpu.core.config import ScanContextConfig
+    from distropointclouds_tpu.io import fixtures
+    from distropointclouds_tpu.io.native import scan_context_host
+
+    cfg = ScanContextConfig.golden_v2()
+    grid = scan_context_host(fixtures.golden_scan(scan_id), cfg)
+    np.testing.assert_array_equal(grid, fixtures.golden_descriptor(scan_id))
+
+
+def test_host_descriptor_profiles(rng):
+    """Host vs device descriptor agreement on random clouds for the
+    drop-policy and offset profiles too."""
+    import jax.numpy as jnp
+
+    from distropointclouds_tpu.core.config import ScanContextConfig
+    from distropointclouds_tpu.io.native import scan_context_host
+    from distropointclouds_tpu.ops.scan_context import scan_context_sorted
+
+    n = 4096
+    xyz = rng.uniform(-60, 60, size=(n, 4)).astype(np.float32)
+    xyz[:, 2] = rng.uniform(-3, 4, size=n)
+    for cfg in [
+        ScanContextConfig.golden_v2(),
+        ScanContextConfig.ros_node(),
+        ScanContextConfig.scaner_v1(),
+    ]:
+        # profiles with voxel downsample: compare the raw binning only
+        host = scan_context_host(xyz, cfg)
+        dev = np.asarray(
+            scan_context_sorted(
+                jnp.asarray(xyz[:, :3]), jnp.ones(n, dtype=bool), cfg
+            )
+        )
+        bad = (host != dev).sum()
+        assert bad <= 5, f"{cfg}: {bad} mismatching cells"
+
+
+def test_loader_descriptor_mode(reference_available):
+    from distropointclouds_tpu.core.config import ScanContextConfig
+    from distropointclouds_tpu.io import fixtures
+    from distropointclouds_tpu.io.native import NativeScanLoader
+
+    cfg = ScanContextConfig.golden_v2()
+    paths = [
+        os.path.join(fixtures.test_data_dir(), f"{s}.bin")
+        for s in fixtures.GOLDEN_IDS
+    ]
+    loader = NativeScanLoader(
+        paths, cfg.max_points, batch=4, descriptor_config=cfg
+    )
+    grids, counts, n = next(iter(loader))
+    loader.close()
+    assert n == 4 and grids.shape == (4, 160, 720)
+    for i, sid in enumerate(fixtures.GOLDEN_IDS):
+        np.testing.assert_array_equal(
+            grids[i], fixtures.golden_descriptor(sid)
+        )
+
+
+def test_pallas_nms_fallback_parity(rng):
+    """The backend-dispatching NMS (separable path on CPU) matches the
+    reference reduce_window implementation."""
+    import jax.numpy as jnp
+
+    from distropointclouds_tpu.ops.pallas_kernels import peak_nms_mask_fast
+    from distropointclouds_tpu.ops.postprocess import peak_nms_mask
+
+    heat = jnp.asarray(rng.uniform(size=(3, 160, 720)).astype(np.float32))
+    a = np.asarray(peak_nms_mask(heat, 7, 0.4))
+    b = np.asarray(peak_nms_mask_fast(heat, 7, 0.4))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_native_loader_feeds_pipeline(bin_files, reference_available):
     """Native loader -> PointBatch -> descriptor == direct path."""
     import jax.numpy as jnp
