@@ -85,7 +85,14 @@ def polar_bin_indices(
     if cfg.edge_policy == EdgePolicy.CLAMP:
         # scaner_version2.py:93 — out-of-range points clamp into the
         # outermost ring.
-        ring = jnp.minimum(r // gap_ring, cfg.num_ring - 1).astype(jnp.int32)
+        ring_f = r // gap_ring
+        # r can overflow to inf on extreme synthetic inputs
+        # (sample_data/999999.bin): inf // gap is NaN, whose int cast is
+        # undefined in the reference (numpy int32 cast of NaN). Define
+        # it as the outermost ring — the natural clamp-policy limit —
+        # matching the native C++ path; finite data is unaffected.
+        ring_f = jnp.where(jnp.isnan(ring_f), jnp.float32(cfg.num_ring - 1), ring_f)
+        ring = jnp.minimum(ring_f, cfg.num_ring - 1).astype(jnp.int32)
         sector = (theta // gap_sector).astype(jnp.int32)
     else:
         # scan_context_node.py:134-145 — reject r > max_length, then

@@ -1,0 +1,109 @@
+"""End-to-end integration on the real reference fixtures: the small-scan
+edge case, a real-size training smoke on golden data, and the
+reconstruct round trip through the public API."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from distropointclouds_tpu.core.config import (
+    PipelineConfig,
+    ScanContextConfig,
+    TrainConfig,
+)
+from distropointclouds_tpu.core.types import PointBatch
+from distropointclouds_tpu.io import fixtures
+
+
+def test_small_scan_999999(reference_available):
+    """sample_data/999999.bin: 11,773 points, no labels — the
+    reference's small-scan edge fixture (SURVEY §4.3)."""
+    from distropointclouds_tpu.ops.scan_context import scan_context
+
+    path = os.path.join(fixtures.sample_data_dir(), "999999.bin")
+    scan = np.fromfile(path, dtype=np.float32).reshape(-1, 4)
+    assert len(scan) == 11773
+    cfg = ScanContextConfig.golden_v2()
+    pb = PointBatch.from_numpy(scan, cfg.max_points)
+    grid = np.asarray(scan_context(pb, cfg))
+    assert grid.shape == (160, 720)
+    # 999999.bin holds synthetic extreme coordinates (|z| up to ~1e35);
+    # golden-v2 semantics (no finite filter, clamp policy) bin them
+    # faithfully into a handful of far-ring cells.
+    assert (grid != 0).sum() > 10
+    # host C++ path agrees exactly
+    from distropointclouds_tpu.io.native import scan_context_host
+
+    np.testing.assert_array_equal(scan_context_host(scan, cfg), grid)
+
+
+def test_pipeline_on_sample_data(reference_available):
+    """Full pipeline over sample_data (mixed sizes incl. the small scan)."""
+    from distropointclouds_tpu.pipeline import shipped_tinycnn_pipeline
+
+    fn, variables = shipped_tinycnn_pipeline()
+    cfg = PipelineConfig()
+    ids = ["000840", "002073", "999999"]
+    pbs = [
+        PointBatch.from_numpy(
+            np.fromfile(
+                os.path.join(fixtures.sample_data_dir(), f"{s}.bin"),
+                dtype=np.float32,
+            ).reshape(-1, 4),
+            cfg.scan_context.max_points,
+        )
+        for s in ids
+    ]
+    out = fn(variables, PointBatch.stack(pbs))
+    assert out["probs"].shape == (3, 160, 720)
+    assert np.isfinite(np.asarray(out["probs"])).all()
+
+
+def test_train_real_size_golden_data(reference_available, tmp_path):
+    """Trainer B at the real 160x720 resolution on the golden fixtures:
+    build the in-memory dataset from test_data, run one epoch, verify
+    the loss is finite and a checkpoint lands."""
+    from distropointclouds_tpu.models.tiny_unet import TinyUNet
+    from distropointclouds_tpu.train.data import load_scan_context_dir
+    from distropointclouds_tpu.train.fit import fit
+
+    data = load_scan_context_dir(fixtures.test_data_dir())
+    assert len(data) == 4
+    assert data.ped_valid.sum() == 8 + 3 + 7 + 8 + 26  # dup entries incl.
+
+    cfg = TrainConfig(
+        model="tiny_unet",
+        batch_size=2,
+        epochs=1,
+        val_split=0.5,
+        test_split=0.0,
+        ckpt_dir=str(tmp_path / "ck"),
+    )
+    state, _ = fit(
+        data, cfg, model=TinyUNet(base=8), vis_dir=str(tmp_path / "vis")
+    )
+    assert int(state.step) >= 1
+    meta = json.load(open(tmp_path / "ck" / "last.meta.json"))
+    assert np.isfinite(meta["metrics"]["loss"])
+    assert os.path.exists(tmp_path / "vis" / "val_epoch001.png")
+
+
+def test_reconstruct_rebin_roundtrip_all_goldens(reference_available):
+    """descriptor -> cloud -> descriptor is idempotent on every golden
+    grid (every reconstructed point re-bins to its own cell)."""
+    from distropointclouds_tpu.ops.invert import scan_context_to_pointcloud
+    from distropointclouds_tpu.ops.scan_context import scan_context
+
+    cfg = ScanContextConfig.golden_v2()
+    for sid in fixtures.GOLDEN_IDS:
+        grid = jnp.asarray(fixtures.golden_descriptor(sid))
+        pts, valid, _ = scan_context_to_pointcloud(grid, cfg)
+        pv = np.asarray(pts)[np.asarray(valid)]
+        pb = PointBatch.from_numpy(pv, cfg.max_points)
+        regrid = np.asarray(scan_context(pb, cfg))
+        np.testing.assert_array_equal(regrid, np.asarray(grid))
