@@ -11,10 +11,9 @@ from __future__ import annotations
 
 from typing import Tuple
 
-import jax
 import jax.numpy as jnp
 
-from .config import BevConfig, Boundary
+from .config import Boundary
 
 
 def build_yolo_target(

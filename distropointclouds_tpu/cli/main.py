@@ -238,7 +238,7 @@ def cmd_reconstruct(args) -> int:
     import jax.numpy as jnp
 
     from ..ops.invert import covered_cell_points, scan_context_to_pointcloud
-    from ..utils.viz import heights_to_colors, save_pointcloud_ply
+    from ..utils.viz import save_pointcloud_ply
 
     cfg = _sc_config(args)
     for npy in args.sc_npy:

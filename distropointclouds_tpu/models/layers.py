@@ -21,10 +21,8 @@ BatchNorm uses flax's BatchNorm with momentum 0.9 (== torch momentum
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Sequence, Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn

@@ -20,7 +20,6 @@ numpy/JAX. Works with torch's CPU build.
 
 from __future__ import annotations
 
-import os
 from typing import Dict, Tuple
 
 import numpy as np

@@ -22,7 +22,6 @@ compilation.
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

@@ -10,8 +10,6 @@ over the batch, and shardable over a device mesh (see parallel/mesh.py).
 
 from __future__ import annotations
 
-import dataclasses
-import functools
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax

@@ -32,7 +32,6 @@ import numpy as np
 
 from ..core.config import EdgePolicy, ScanContextConfig
 from ..core.types import PointBatch
-from ..ops.scan_context import scan_context
 from ..ops.voxel import voxel_downsample
 
 logger = logging.getLogger("distropointclouds_tpu.stream")

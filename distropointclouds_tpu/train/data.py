@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.config import ScanContextConfig, TrainConfig
-from ..labels.covered_cells import combined_mask, covered_cells_mask
+from ..labels.covered_cells import covered_cells_mask
 from ..labels.heatmap import adaptive_weight_map, center_heatmap
 from ..models.layers import normalize_clip, normalize_minmax
 

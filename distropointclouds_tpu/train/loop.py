@@ -17,7 +17,6 @@ tiny_sc_pred_v2.py:497-499), gradient clipping (:289).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
