@@ -136,13 +136,14 @@ def _place_window(window: jnp.ndarray, offset: jnp.ndarray, width: int):
 
 
 def _windowed_sc_kernel(ring_ref, sector_ref, z_ref, grid_ref, handled_ref,
-                        *, num_ring: int, num_sector: int):
+                        acc_ref, *, num_ring: int, num_sector: int):
     c = pl.program_id(1)
+    n_chunks = pl.num_programs(1)
     S_ext = num_sector + GRID_PAD_S
 
     @pl.when(c == 0)
     def _():
-        grid_ref[0] = jnp.full((num_ring, S_ext), -jnp.inf, jnp.float32)
+        acc_ref[...] = jnp.full((num_ring, S_ext), -jnp.inf, jnp.float32)
 
     # Chunks are laid out as (8, 128) tiles (TPU native tiling). All
     # intermediates are kept strictly 2-D for Mosaic.
@@ -189,10 +190,17 @@ def _windowed_sc_kernel(ring_ref, sector_ref, z_ref, grid_ref, handled_ref,
     block_start = pl.multiple_of(block_start, 128)
     offset = ws - block_start  # in [0, 256 - WIN]
     placed = _place_window(window, offset, 256)
-    cur = grid_ref[0, pl.ds(0, num_ring), pl.ds(block_start, 256)]
-    grid_ref[0, pl.ds(0, num_ring), pl.ds(block_start, 256)] = jnp.maximum(
+    cur = acc_ref[pl.ds(0, num_ring), pl.ds(block_start, 256)]
+    acc_ref[pl.ds(0, num_ring), pl.ds(block_start, 256)] = jnp.maximum(
         cur, placed
     )
+
+    # Single output write at the end (the accumulator lives in scratch
+    # VMEM across grid steps; revisiting an output block instead costs
+    # block-management overhead every step).
+    @pl.when(c == n_chunks - 1)
+    def _():
+        grid_ref[0] = acc_ref[...]
 
 
 def scan_context_windowed(
@@ -246,6 +254,11 @@ def scan_context_windowed(
             pl.BlockSpec((1, R, S + 128), lambda b, c: (b, 0, 0)),
             pl.BlockSpec((1, 1, 8, 128), lambda b, c: (b, c, 0, 0)),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((R, S + 128), jnp.float32)
+        ] if (_HAVE_PLTPU and not interpret) else [
+            pltpu.VMEM((R, S + 128), jnp.float32)
+        ],
         interpret=interpret,
     )(tiled(ring), tiled(sector), tiled(z))
     handled = handled.reshape(B, N + pad) > 0.5

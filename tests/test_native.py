@@ -160,6 +160,26 @@ def test_loader_descriptor_mode(reference_available):
         )
 
 
+def test_loader_numpy_fallback(reference_available, monkeypatch):
+    """With the shared library unavailable, the loader's numpy fallback
+    must deliver identical batches (points and descriptor modes)."""
+    from distropointclouds_tpu.core.config import ScanContextConfig
+    from distropointclouds_tpu.io import fixtures
+
+    monkeypatch.setattr(native, "_load_library", lambda *a, **k: None)
+    cfg = ScanContextConfig.golden_v2()
+    paths = [os.path.join(fixtures.test_data_dir(), "000840.bin")]
+    loader = native.NativeScanLoader(paths, cfg.max_points, batch=1)
+    data, counts, n = next(iter(loader))
+    assert n == 1 and counts[0] == 117104
+
+    loader2 = native.NativeScanLoader(
+        paths, cfg.max_points, batch=1, descriptor_config=cfg
+    )
+    grids, counts2, _ = next(iter(loader2))
+    assert (grids[0] != fixtures.golden_descriptor("000840")).sum() <= 10
+
+
 def test_pallas_nms_fallback_parity(rng):
     """The backend-dispatching NMS (separable path on CPU) matches the
     reference reduce_window implementation."""
