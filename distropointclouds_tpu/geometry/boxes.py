@@ -199,13 +199,21 @@ def point_transform(
     def rot(p, mat):
         return p @ mat.T
 
-    if rx:
+    def skip(angle) -> bool:
+        # Python-zero angles skip the matmul (like the reference's
+        # `if rx != 0` guards); traced angles always apply — rotation by
+        # a traced 0 is the identity, so semantics are unchanged and the
+        # function stays jittable (data-dependent Python branching is
+        # not).
+        return isinstance(angle, (int, float)) and angle == 0
+
+    if not skip(rx):
         c, s = jnp.cos(rx), jnp.sin(rx)
         p = rot(p, jnp.array([[1, 0, 0], [0, c, s], [0, -s, c]], p.dtype))
-    if ry:
+    if not skip(ry):
         c, s = jnp.cos(ry), jnp.sin(ry)
         p = rot(p, jnp.array([[c, 0, -s], [0, 1, 0], [s, 0, c]], p.dtype))
-    if rz:
+    if not skip(rz):
         c, s = jnp.cos(rz), jnp.sin(rz)
         p = rot(p, jnp.array([[c, s, 0], [-s, c, 0], [0, 0, 1]], p.dtype))
     return p

@@ -260,3 +260,89 @@ def test_augmentations(rng):
     )
     assert not bool(out_valid[0])
     assert float(out_img.sum()) < float(img2.sum())
+
+
+def test_compose_and_one_of(rng):
+    """Compose applies all transforms with probability p; OneOf picks
+    exactly one via lax.switch (transformation.py:315-337)."""
+    import jax
+
+    from distropointclouds_tpu.bev.augment import (
+        compose,
+        one_of,
+        random_rotation,
+        random_scaling,
+    )
+
+    lidar = jnp.asarray(rng.uniform(-10, 10, size=(128, 4)).astype(np.float32))
+    labels = jnp.asarray(
+        np.array([[5.0, 2.0, -0.5, 1.7, 0.6, 0.8, 0.3]], np.float32)
+    )
+
+    both = compose(
+        [
+            lambda k, l, b: random_rotation(k, l, b, p=1.0),
+            lambda k, l, b: random_scaling(k, l, b, p=1.0),
+        ],
+        p=1.0,
+    )
+    lr, lb = jax.jit(both)(jax.random.key(0), lidar, labels)
+    # rotation+scaling(0.95): radii scale by 0.95
+    r0 = np.linalg.norm(np.asarray(lidar)[:, :2], axis=1)
+    r1 = np.linalg.norm(np.asarray(lr)[:, :2], axis=1)
+    np.testing.assert_allclose(r1, r0 * 0.95, rtol=1e-4)
+
+    # p=0 gate: identity
+    never = compose([lambda k, l, b: random_scaling(k, l, b, p=1.0)], p=0.0)
+    ln, _ = never(jax.random.key(1), lidar, labels)
+    np.testing.assert_array_equal(np.asarray(ln), np.asarray(lidar))
+
+    # OneOf: exactly one applied -> radii either preserved (rotation) or
+    # scaled by exactly 0.95 (scaling), never both
+    pick = one_of(
+        [
+            lambda k, l, b: random_rotation(k, l, b, p=1.0),
+            lambda k, l, b: random_scaling(k, l, b, p=1.0),
+        ],
+        p=1.0,
+    )
+    seen = set()
+    for i in range(6):
+        lo, _ = jax.jit(pick)(jax.random.key(i), lidar, labels)
+        ro = np.linalg.norm(np.asarray(lo)[:, :2], axis=1)
+        ratio = np.median(ro / r0)
+        seen.add(round(float(ratio), 3))
+    assert seen <= {1.0, 0.95}
+    assert len(seen) == 2  # both branches exercised across keys
+
+
+def test_cli_throughput(tmp_path, rng, reference_available):
+    """The production serving loop end-to-end via the CLI (native loader
+    -> pipeline, pipelined dispatch)."""
+    import json as _json
+
+    from distropointclouds_tpu.cli.main import main
+    from distropointclouds_tpu.io import fixtures
+
+    bins = [
+        os.path.join(fixtures.test_data_dir(), f"{s}.bin")
+        for s in fixtures.GOLDEN_IDS[:2]
+    ]
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(
+            [
+                "throughput",
+                *bins,
+                "--ckpt", "/root/reference/distro_model/tinycnn_best.pth",
+                "--batch", "2",
+                "--repeat", "2",
+            ]
+        )
+    assert rc == 0
+    last = buf.getvalue().strip().splitlines()[-1]
+    rec = _json.loads(last)
+    assert rec["scans"] == 4 and rec["scans_per_sec"] > 0
