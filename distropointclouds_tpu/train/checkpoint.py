@@ -30,6 +30,18 @@ except Exception:  # pragma: no cover
     _HAVE_ORBAX = False
 
 
+def _flatten_vars(tree: Any, prefix: str) -> Dict[str, np.ndarray]:
+    """Flatten a nested mapping of arrays into '/'-joined keys."""
+    out: Dict[str, np.ndarray] = {}
+    for k, v in tree.items():
+        key = f"{prefix}/{k}"
+        if hasattr(v, "items"):
+            out.update(_flatten_vars(v, key))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
 class CheckpointManager:
     """last/best checkpoints + metadata under one directory."""
 
@@ -65,9 +77,20 @@ class CheckpointManager:
             self._ckptr.wait_until_finished()
         else:  # numpy fallback
             flat, treedef = jax.tree.flatten(state)
+            # Alongside the positional entries (template-based restore),
+            # store model variables under structured 'v:' keys so
+            # restore_variables works template-free on orbax-less hosts.
+            var_entries = {
+                f"v:{k}": v
+                for k, v in {
+                    **_flatten_vars(state.params, "params"),
+                    **_flatten_vars(state.batch_stats, "batch_stats"),
+                }.items()
+            }
             np.savez(
                 self._path(tag) + ".npz",
                 **{f"a{i}": np.asarray(x) for i, x in enumerate(flat)},
+                **var_entries,
             )
         with open(self._meta_path(tag), "w") as f:
             json.dump(
@@ -114,6 +137,22 @@ class CheckpointManager:
                 "params": raw["params"],
                 "batch_stats": raw["batch_stats"],
             }
+        npz = self._path(tag) + ".npz"
+        if os.path.exists(npz):
+            data = np.load(npz)
+            out: Dict[str, Any] = {"params": {}, "batch_stats": {}}
+            found = False
+            for name in data.files:
+                if not name.startswith("v:"):
+                    continue
+                found = True
+                parts = name[2:].split("/")
+                node = out
+                for p in parts[:-1]:
+                    node = node.setdefault(p, {})
+                node[parts[-1]] = data[name]
+            if found:
+                return out
         raise FileNotFoundError(f"no checkpoint '{tag}' in {self.directory}")
 
     def has(self, tag: str) -> bool:

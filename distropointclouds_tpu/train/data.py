@@ -217,6 +217,8 @@ def build_targets(
 
     out["x"] = x[..., None]
     out["target"] = target[..., None]
+    if "sample_weight" in batch:
+        out["sample_weight"] = batch["sample_weight"]
     return out
 
 
@@ -230,7 +232,9 @@ def epoch_batches(
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Yield raw host batches (pre-target-building). The final partial
     batch is padded by repeating its last sample (static shapes) and
-    carries 'n_real' with the true count."""
+    carries 'n_real' with the true count plus 'sample_weight' [B]
+    (1 for real samples, 0 for padding) so losses/metrics can mask the
+    duplicates (torch drop_last=False exact-mean semantics)."""
     order = rng.permutation(indices) if shuffle else np.asarray(indices)
     n = len(order)
     for start in range(0, n, batch_size):
@@ -240,7 +244,9 @@ def epoch_batches(
             if drop_last:
                 return
             sel = np.concatenate([sel, np.repeat(sel[-1:], batch_size - n_real)])
+        weight = (np.arange(batch_size) < n_real).astype(np.float32)
         yield {
+            "sample_weight": weight,
             "sc": data.sc[sel],
             "centers": data.centers[sel],
             "boxes": data.boxes[sel],

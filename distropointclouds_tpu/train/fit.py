@@ -118,12 +118,21 @@ def fit(
             log_f.write(json.dumps(rec) + "\n")
             log_f.flush()
 
+    # Batched peak extraction, jitted ONCE (the reference loops
+    # extract_peaks per val image, train_sc_ped.py:419-464; on a 1-core
+    # host that makes eval dispatch-bound — here it's one device program
+    # per eval batch; only the greedy matcher stays on host).
+    det_cfg = DetectorConfig()
+    peaks_fn = jax.jit(
+        lambda p: extract_peaks(p, det_cfg, threshold=eval_threshold)
+    )
+
     def run_eval(idx: np.ndarray, epoch: int = 0) -> Dict[str, float]:
         if len(idx) == 0:
             return {}
         saved_vis = False
-        losses: List[float] = []
-        ious: List[float] = []
+        losses: List[Tuple[float, int]] = []
+        ious: List[Tuple[float, int]] = []
         tp = fp = fn = 0
         pix = {"tp": 0.0, "fp": 0.0, "fn": 0.0}
         band_pix: Dict[str, Dict[str, float]] = {}
@@ -133,8 +142,9 @@ def fit(
             n_real = int(batch.pop("n_real"))
             dev = targets_eval(jax.device_put(batch))
             aux, probs = eval_step(state, dev)
-            losses.append(float(aux["loss"]))
-            ious.append(float(aux["iou"]))
+            det_batch = peaks_fn(probs[..., 0]) if cfg.model == "tiny_unet" else None
+            losses.append((float(aux["loss"]), n_real))
+            ious.append((float(aux["iou"]), n_real))
             p = np.asarray(probs)[..., 0][:n_real]
             t = np.asarray(dev["target"])[..., 0][:n_real]
             if vis_dir and not saved_vis and n_real:
@@ -158,22 +168,20 @@ def fit(
                 except Exception:
                     saved_vis = True
             if cfg.model == "tiny_unet":
-                # center matching against GT centers (train_sc_ped eval)
+                # center matching against GT centers (train_sc_ped eval);
+                # peaks came from ONE batched device call above — only
+                # the greedy wrap-aware matcher runs on host.
                 centers = np.asarray(batch["centers"])[:n_real]
                 valid = np.asarray(batch["ped_valid"])[:n_real]
+                d_ring = np.asarray(det_batch.ring)[:n_real]
+                d_sector = np.asarray(det_batch.sector)[:n_real]
+                d_score = np.asarray(det_batch.score)[:n_real]
+                d_valid = np.asarray(det_batch.valid)[:n_real]
                 for bi in range(n_real):
-                    det = extract_peaks(
-                        jnp.asarray(p[bi]),
-                        DetectorConfig(),
-                        threshold=eval_threshold,
-                    )
                     preds = [
                         (float(r), float(s), float(v))
                         for r, s, v, ok in zip(
-                            np.asarray(det.ring),
-                            np.asarray(det.sector),
-                            np.asarray(det.score),
-                            np.asarray(det.valid),
+                            d_ring[bi], d_sector[bi], d_score[bi], d_valid[bi]
                         )
                         if ok
                     ]
@@ -199,7 +207,14 @@ def fit(
                         )
                         for k in ("tp", "fp", "fn"):
                             acc[k] += float(bm[k])
-        out = {"loss": float(np.mean(losses)), "iou": float(np.mean(ious))}
+        # Weight per-batch means by their real sample counts so the
+        # padded final batch doesn't skew the epoch averages.
+        out = {
+            "loss": float(np.average([v for v, _ in losses],
+                                     weights=[w for _, w in losses])),
+            "iou": float(np.average([v for v, _ in ious],
+                                    weights=[w for _, w in ious])),
+        }
         if cfg.model == "tiny_unet":
             out.update(M.precision_recall_f1(tp, fp, fn))
         else:
@@ -232,14 +247,17 @@ def fit(
     for epoch in range(start_epoch, cfg.epochs + 1):
         t0 = time.time()
         train_losses = []
+        train_counts = []
         it = epoch_batches(data, tr_idx, cfg.batch_size, host_rng, shuffle=True)
         for batch in prefetch_to_device(it, size=2):
-            batch.pop("n_real")
+            train_counts.append(int(batch.pop("n_real")))
             rng, sub = jax.random.split(rng)
             dev = targets_train(batch, sub)
             state, aux = train_step(state, dev)
             train_losses.append(aux["loss"])
-        train_loss = float(jnp.mean(jnp.stack(train_losses)))
+        train_loss = float(
+            np.average(np.asarray(jnp.stack(train_losses)), weights=train_counts)
+        )
 
         val = run_eval(va_idx, epoch)
         sel = val.get("f1" if cfg.model != "tiny_cnn" else "iou", 0.0)

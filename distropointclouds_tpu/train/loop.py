@@ -118,31 +118,39 @@ def compute_loss(
     else:
         mask_logits = None
     y = batch["target"]
+    # Per-sample weights [B] mask padded duplicate samples (the final
+    # partial batch is padded by repetition for static shapes; weight 0
+    # keeps them out of gradients and reported losses).
+    sw = batch.get("sample_weight")
     if cfg.model == "tiny_cnn":
         # Trainer A: BCE(pos_weight) [+ dice] (tiny_sc_ped.py:159-175).
-        loss = L.bce_with_logits(logits, y, cfg.pos_weight)
+        loss = L.bce_with_logits(logits, y, cfg.pos_weight, sample_weight=sw)
         aux["bce"] = loss
         if cfg.use_dice:
-            d = L.dice_loss(logits, y)
+            d = L.dice_loss(logits, y, sample_weight=sw)
             aux["dice"] = d
             loss = loss + d
     elif cfg.model == "sc_unet":
         # Trainer C: adaptive focal with pixel weights
         # (tiny_sc_pred_v2.py:239-261).
         loss = L.adaptive_focal_loss(
-            logits, y, batch.get("weight"), cfg.focal_gamma, cfg.focal_alpha
+            logits, y, batch.get("weight"), cfg.focal_gamma, cfg.focal_alpha,
+            sample_weight=sw,
         )
         aux["focal"] = loss
     else:
         # Trainer B: focal heatmap loss [+ aux mask loss]
         # (train_sc_ped.py:372-381).
-        hm = L.bce_focal_loss(logits, y, cfg.focal_alpha, cfg.focal_gamma)
+        hm = L.bce_focal_loss(
+            logits, y, cfg.focal_alpha, cfg.focal_gamma, sample_weight=sw
+        )
         aux["heat_focal"] = hm
         loss = cfg.hm_loss_w * hm
         if mask_logits is not None and cfg.mask_loss_w > 0:
             m = L.bce_focal_loss(
-                mask_logits, batch["target_mask"], cfg.focal_alpha, cfg.focal_gamma
-            ) + L.dice_loss(mask_logits, batch["target_mask"])
+                mask_logits, batch["target_mask"], cfg.focal_alpha,
+                cfg.focal_gamma, sample_weight=sw,
+            ) + L.dice_loss(mask_logits, batch["target_mask"], sample_weight=sw)
             aux["mask"] = m
             loss = loss + cfg.mask_loss_w * m
     aux["loss"] = loss
@@ -195,7 +203,9 @@ def make_eval_step(model, cfg: TrainConfig) -> Callable:
         )
         loss, aux = compute_loss(cfg, out, batch)
         logits = out[0] if isinstance(out, tuple) else out
-        aux["iou"] = L.iou_from_logits(logits, batch["target"])
+        aux["iou"] = L.iou_from_logits(
+            logits, batch["target"], sample_weight=batch.get("sample_weight")
+        )
         return aux, jax.nn.sigmoid(logits)
 
     return step

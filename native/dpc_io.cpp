@@ -214,6 +214,12 @@ struct Loader {
   int64_t next_batch_index = 0;  // producer cursor (batch units)
   int64_t total_batches = 0;
   std::atomic<bool> stop{false};
+  // Producer start gate: production begins at the first dpc_loader_next*
+  // call, never at create time. This makes dpc_loader_enable_sc (called
+  // between create and the first next) race-free — without the gate the
+  // producer could read a torn ScParams/sc_enabled mid-write and size
+  // the grid buffer from garbage (observed as a rare segfault).
+  bool started = false;
 
   // single-producer thread fills batches in order; multiple reader
   // threads parallelize the per-scan freads inside a batch.
@@ -268,6 +274,10 @@ static void fill_batch(Loader* L, Batch* b, int64_t batch_idx) {
 }
 
 static void producer_main(Loader* L) {
+  {
+    std::unique_lock<std::mutex> lk(L->mu);
+    L->cv_space.wait(lk, [L] { return L->stop.load() || L->started; });
+  }
   while (!L->stop.load()) {
     int64_t idx;
     {
@@ -326,7 +336,9 @@ int64_t dpc_loader_num_batches(void* handle) {
 }
 
 // Enable descriptor mode. Must be called before the first
-// dpc_loader_next* call (the producer thread reads the params).
+// dpc_loader_next* call; safe at any point between create and that call
+// because the producer thread doesn't start filling until the gate in
+// dpc_loader_next* opens.
 void dpc_loader_enable_sc(void* handle, const ScParams* params) {
   Loader* L = static_cast<Loader*>(handle);
   L->sc = *params;
@@ -341,6 +353,10 @@ int64_t dpc_loader_next_sc(void* handle, float* out_points,
   Batch* b;
   {
     std::unique_lock<std::mutex> lk(L->mu);
+    if (!L->started) {
+      L->started = true;
+      L->cv_space.notify_all();
+    }
     L->cv_ready.wait(lk, [L] { return !L->ready.empty(); });
     b = L->ready.front();
     L->ready.pop();
@@ -365,6 +381,10 @@ int64_t dpc_loader_next(void* handle, float* out, int64_t* counts) {
   Batch* b;
   {
     std::unique_lock<std::mutex> lk(L->mu);
+    if (!L->started) {
+      L->started = true;
+      L->cv_space.notify_all();
+    }
     L->cv_ready.wait(lk, [L] { return !L->ready.empty(); });
     b = L->ready.front();
     L->ready.pop();

@@ -105,3 +105,34 @@ def test_optimizer_weight_decay_matters():
     ua, _ = a.update(grads, a.init(params), params)
     ub, _ = b.update(grads, b.init(params), params)
     assert not np.allclose(np.asarray(ua["w"]), np.asarray(ub["w"]))
+
+
+def test_checkpoint_npz_fallback_variables_only(tmp_path, tiny_state, monkeypatch):
+    """With orbax unavailable, the npz fallback must still serve
+    template-free inference restore (train_sc_ped.py:504-511 reload
+    path on an orbax-less host)."""
+    import distropointclouds_tpu.train.checkpoint as C
+
+    monkeypatch.setattr(C, "_HAVE_ORBAX", False)
+    cfg, model, state, tx = tiny_state
+    mgr = C.CheckpointManager(str(tmp_path))
+    mgr.save("best", state, epoch=1, metrics={"iou": 0.4})
+    assert os.path.exists(tmp_path / "best.npz")
+
+    # Template-free variables restore (inference path).
+    variables = mgr.restore_variables("best")
+    for a, b in zip(
+        jax.tree.leaves(variables["params"]), jax.tree.leaves(state.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    out = model.apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        jnp.ones((1, 16, 32, 1)),
+    )
+    assert out.shape == (1, 16, 32, 1)
+
+    # Template-based full-state restore still works from the same file.
+    restored, meta = mgr.restore("best", state)
+    assert meta["epoch"] == 1
+    for a, b in zip(jax.tree.leaves(restored), jax.tree.leaves(state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

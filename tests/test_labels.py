@@ -193,3 +193,37 @@ def test_mask_wrap_semantics():
     assert m_wrap[159, 10] == 1  # ring clipped to 159
     m_drop = mask_from_cell_rows(cells, CFG, wrap=False)
     assert m_drop.sum() == 0
+
+
+def test_device_f32_targets_vs_stored_json_masks(reference_available):
+    """The jitted training path rebuilds covered-cells masks on-device in
+    float32 from (x, y, l, w, yaw); the reference trains on masks OR-ed
+    from the float64-derived JSON rows (tiny_sc_ped.py:62-73). Bound the
+    f32/f64 boundary-cell discrepancy on every golden fixture."""
+    import jax.numpy as jnp
+
+    from distropointclouds_tpu.train.data import build_targets, load_scan_context_dir
+    from distropointclouds_tpu.core.config import TrainConfig
+
+    data = load_scan_context_dir(fixtures.test_data_dir())
+    cfg = TrainConfig(model="tiny_cnn", normalize="minmax", roll_aug=False)
+    batch = {
+        k: jnp.asarray(getattr(data, k))
+        for k in ("sc", "centers", "boxes", "distance", "num_cells", "ped_valid")
+    }
+    out = build_targets(batch, cfg)
+    device_masks = np.asarray(out["target"])[..., 0] > 0.5
+
+    max_diff = 0
+    for i, scan_id in enumerate(data.ids):
+        peds = fixtures.golden_pedestrians(f"{scan_id:06d}")
+        ref_mask = np.zeros(CFG.grid_shape, np.uint8)
+        for ped in peds:
+            ref_mask |= mask_from_cell_rows(np.asarray(ped["covered_cells"]), CFG)
+        diff = int((device_masks[i] != (ref_mask > 0)).sum())
+        max_diff = max(max_diff, diff)
+        # f32 vs f64 rotation/trig can flip only cells whose centers sit
+        # within float32 eps of the box edge — a handful per scan.
+        assert diff <= 8, f"scan {scan_id}: {diff} differing cells"
+    # Not vacuous: at least the masks must be non-empty and mostly agree.
+    assert device_masks.sum() > 0

@@ -322,3 +322,36 @@ def test_normalize_functions():
     # constant input passes through (tiny_sc_ped.py:58-59)
     const = jnp.full((4, 8), 2.5)
     np.testing.assert_array_equal(np.asarray(normalize_minmax(const)), 2.5)
+
+
+def test_sc_unet_sector_sharded_forward_matches():
+    """ScanContextUNet's circular polar padding (tiny_sc_pred_v2.py:
+    113-117) must survive GSPMD sector-axis sharding: forward on a
+    (1, 'sector'=4) mesh == unsharded forward (XLA inserts the
+    collective-permute halo exchanges for the wrap pad)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from distropointclouds_tpu.core.config import MeshConfig
+    from distropointclouds_tpu.models.sc_unet import ScanContextUNet
+    from distropointclouds_tpu.parallel.mesh import make_mesh
+
+    model = ScanContextUNet()
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 32, 96, 1)).astype(np.float32)
+    )
+    variables = model.init(jax.random.key(0), x, train=False)
+    ref = model.apply(variables, x, train=False)
+
+    mesh = make_mesh(MeshConfig(data=1, sector=4), jax.devices()[:4])
+    xsh = NamedSharding(mesh, P(None, None, "sector", None))
+    repl = NamedSharding(mesh, P())
+    fwd = jax.jit(
+        lambda v, a: model.apply(v, a, train=False),
+        in_shardings=(repl, xsh),
+        out_shardings=repl,
+    )
+    out = fwd(jax.device_put(variables, repl), jax.device_put(x, xsh))
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )

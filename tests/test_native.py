@@ -215,3 +215,36 @@ def test_native_loader_feeds_pipeline(bin_files, reference_available):
     grid = np.asarray(scan_context(pb, cfg))
     golden = fixtures.golden_descriptor("000840")
     assert (grid != golden).sum() <= 10
+
+
+def test_loader_enable_sc_create_gap(reference_available):
+    """Regression for a producer/enable_sc data race: the producer thread
+    must not start filling batches until the first next() call, so the
+    create -> enable_sc -> (delay) -> iterate ordering always yields
+    correct descriptor grids (previously the producer could observe a
+    torn ScParams and corrupt the heap)."""
+    import time
+
+    from distropointclouds_tpu.core.config import ScanContextConfig
+    from distropointclouds_tpu.io import fixtures
+    from distropointclouds_tpu.io.native import NativeScanLoader
+
+    cfg = ScanContextConfig.golden_v2()
+    paths = [
+        os.path.join(fixtures.test_data_dir(), f"{s}.bin")
+        for s in fixtures.GOLDEN_IDS
+    ]
+    for _ in range(3):
+        loader = NativeScanLoader(
+            paths, cfg.max_points, batch=2, descriptor_config=cfg
+        )
+        time.sleep(0.05)  # widen the old race window before first next()
+        grids, counts, n = next(iter(loader))
+        loader.close()
+        assert n == 2
+        np.testing.assert_array_equal(
+            grids[0], fixtures.golden_descriptor(fixtures.GOLDEN_IDS[0])
+        )
+        np.testing.assert_array_equal(
+            grids[1], fixtures.golden_descriptor(fixtures.GOLDEN_IDS[1])
+        )

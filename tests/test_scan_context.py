@@ -67,7 +67,7 @@ def mismatch_is_boundary_explainable(ours, golden, rr, ss, cfg):
 
 
 @pytest.mark.parametrize("scan_id", fixtures.GOLDEN_IDS)
-@pytest.mark.parametrize("impl", ["sort", "scatter"])
+@pytest.mark.parametrize("impl", ["sort", "scatter", "sort_route"])
 def test_golden_parity(reference_available, scan_id, impl):
     cfg = ScanContextConfig.golden_v2()
     raw = fixtures.golden_scan(scan_id)
@@ -183,3 +183,59 @@ def test_duplicate_points_in_same_cell():
     out = np.asarray(scan_context(PointBatch.from_numpy(pts, 16), cfg))
     assert out.max() == np.float32(3.0)
     assert (out != 0).sum() == 1
+
+
+def test_sort_route_bitexact_vs_sorted(rng):
+    """The log-shift routing compaction (sort_route) must be bit-identical
+    to the two-sort path on every profile, including degenerate clouds
+    (all points in one cell = worst-case displacement) and padding."""
+    from distropointclouds_tpu.ops.scan_context import (
+        scan_context_sort_route,
+        scan_context_sorted,
+    )
+
+    for profile in (
+        ScanContextConfig.golden_v2(),
+        ScanContextConfig.ros_node(),
+        ScanContextConfig.scaner_v1(),
+    ):
+        n = 4096
+        xyz = rng.uniform(-90, 90, size=(n, 3)).astype(np.float32)
+        valid = rng.uniform(size=n) < 0.8
+        a = np.asarray(
+            scan_context_sorted(jnp.asarray(xyz), jnp.asarray(valid), profile)
+        )
+        b = np.asarray(
+            scan_context_sort_route(
+                jnp.asarray(xyz), jnp.asarray(valid), profile
+            )
+        )
+        np.testing.assert_array_equal(a, b)
+
+    cfg = ScanContextConfig.golden_v2()
+    one_cell = np.tile(
+        np.asarray([[1.0, 1.0, 0.0]], np.float32), (2048, 1)
+    )
+    one_cell[:, 2] = rng.normal(size=2048)
+    a = np.asarray(
+        scan_context_sorted(
+            jnp.asarray(one_cell), jnp.ones(2048, bool), cfg
+        )
+    )
+    b = np.asarray(
+        scan_context_sort_route(
+            jnp.asarray(one_cell), jnp.ones(2048, bool), cfg
+        )
+    )
+    np.testing.assert_array_equal(a, b)
+
+
+def test_compact_run_ends_unit():
+    """Direct unit test of the routing compaction on a hand-built sorted
+    stream: 4 cells, duplicate runs, sentinel tail."""
+    from distropointclouds_tpu.ops.scan_context import compact_run_ends
+
+    cells = jnp.asarray([0, 0, 0, 1, 2, 2, 3, 4, 4], jnp.int32)
+    z = jnp.asarray([-1.0, 0.5, 2.0, -3.0, 0.0, 7.0, 1.5, 9.0, 9.5])
+    out = np.asarray(compact_run_ends(cells, z, 4))
+    np.testing.assert_allclose(out, [2.0, -3.0, 7.0, 1.5])

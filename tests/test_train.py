@@ -288,3 +288,103 @@ def test_fit_tiny_run_and_resume(tmp_path):
     lines = open(tmp_path / "log.jsonl").read().strip().splitlines()
     recs = [json.loads(l) for l in lines if "epoch" in l]
     assert recs[-1]["epoch"] == 3  # resumed at epoch 3, not 1
+
+
+def test_train_step_sharded_matches_single_device():
+    """SURVEY §4.3 distributed gate: the psum'd (XLA-inserted) gradients
+    of the sharded train step must equal the single-device gradients on
+    the concatenated batch — checked via loss and post-step params on a
+    (4,1) and a (2,2) ('data','sector') mesh."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from distropointclouds_tpu.core.config import MeshConfig
+    from distropointclouds_tpu.models.tiny_unet import TinyUNet
+    from distropointclouds_tpu.parallel.mesh import make_mesh
+    from distropointclouds_tpu.train.loop import init_state, make_train_step
+
+    cfg = TrainConfig(model="tiny_unet", grad_clip=1.0)
+    model = TinyUNet(base=8)
+    B, H, W = 8, 32, 96
+    r = np.random.default_rng(0)
+    batch = {
+        "x": jnp.asarray(r.normal(size=(B, H, W, 1)).astype(np.float32)),
+        "target": jnp.asarray(
+            (r.uniform(size=(B, H, W, 1)) < 0.05).astype(np.float32)
+        ),
+    }
+    state, tx = init_state(
+        model, cfg, jax.random.key(0), jnp.zeros((1, H, W, 1)), 10
+    )
+    step = make_train_step(model, tx, cfg)
+    ref_state, ref_metrics = jax.jit(step)(state, batch)
+
+    for data_n, sector_n in ((4, 1), (2, 2)):
+        mesh = make_mesh(
+            MeshConfig(data=data_n, sector=sector_n),
+            jax.devices()[: data_n * sector_n],
+        )
+        xsh = NamedSharding(mesh, P("data", None, "sector", None))
+        repl = NamedSharding(mesh, P())
+        sharded = jax.jit(
+            step,
+            in_shardings=(repl, {"x": xsh, "target": xsh}),
+            out_shardings=(repl, repl),
+        )
+        new_state, metrics = sharded(
+            jax.device_put(state, repl),
+            jax.device_put(batch, {"x": xsh, "target": xsh}),
+        )
+        np.testing.assert_allclose(
+            np.asarray(metrics["loss"]), np.asarray(ref_metrics["loss"]),
+            rtol=2e-4, atol=1e-6,
+        )
+        # Adam's first step is ~+-lr regardless of grad magnitude, so a
+        # reduction-order ulp on a near-zero grad can flip one update's
+        # sign; bound by ~2*lr instead of rtol (same tolerance as the
+        # driver's dryrun_multichip).
+        for a, b in zip(
+            jax.tree.leaves(new_state.params), jax.tree.leaves(ref_state.params)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=0, atol=2.5 * cfg.lr
+            )
+
+
+def test_padded_final_batch_masked(tmp_path):
+    """A 5-sample dataset at batch 4 pads the last batch by repetition;
+    sample_weight must mask the padding so the loss equals the unpadded
+    computation (torch drop_last=False exact-mean semantics)."""
+    from distropointclouds_tpu.train.data import (
+        build_targets,
+        epoch_batches,
+        load_scan_context_dir,
+    )
+    from distropointclouds_tpu.train.loop import compute_loss
+
+    d = make_synthetic_dataset(tmp_path / "pad", n=5, H=32, W=96)
+    data = load_scan_context_dir(d)
+    data.sc = data.sc[:, :32, :96].copy()
+    cfg = TrainConfig(
+        model="tiny_cnn", height=32, width=96, normalize="minmax",
+        roll_aug=False, use_dice=True,
+    )
+    batches = list(
+        epoch_batches(data, np.arange(5), 4, np.random.default_rng(0),
+                      shuffle=False)
+    )
+    assert [int(b["n_real"]) for b in batches] == [4, 1]
+    assert batches[0]["sample_weight"].tolist() == [1.0] * 4
+    last = batches[1]
+    assert last["sample_weight"].tolist() == [1.0, 0.0, 0.0, 0.0]
+    last.pop("n_real")
+    dev = build_targets({k: jnp.asarray(v) for k, v in last.items()}, cfg)
+
+    logits = jnp.asarray(
+        np.random.default_rng(1).normal(size=(4, 32, 96, 1)).astype(np.float32)
+    )
+    loss_padded, _ = compute_loss(cfg, logits, dev)
+    dev_real = {
+        k: v[:1] for k, v in dev.items() if k != "sample_weight"
+    }
+    loss_real, _ = compute_loss(cfg, logits[:1], dev_real)
+    assert float(loss_padded) == pytest.approx(float(loss_real), rel=1e-5)

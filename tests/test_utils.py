@@ -116,3 +116,74 @@ def test_camera_viz(tmp_path):
     pts[:, 2] = np.random.default_rng(2).uniform(-1, 1, 500)
     out2 = draw_lidar_points_on_image(img, pts, calib)
     assert out2.sum() > 0
+
+
+def test_save_lidar_scene_3d(tmp_path):
+    """Offscreen 3D scene render (mayavi show_lidar_with_boxes
+    replacement): points + box wireframes + highlight overlay -> PNG."""
+    from distropointclouds_tpu.utils.viz import save_lidar_scene_3d
+
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-20, 20, size=(5000, 4)).astype(np.float32)
+    pts[:, 2] = rng.uniform(-2, 2, size=5000)
+    boxes = np.array([[5.0, 1.0, -1.0, 1.7, 0.6, 0.8, 0.3]], np.float32)
+    hl = np.hypot(pts[:, 0], pts[:, 1]) < 3
+    out = tmp_path / "scene.png"
+    save_lidar_scene_3d(
+        pts, str(out), boxes_lidar=boxes, highlight_mask=hl, max_points=2000
+    )
+    assert out.exists() and out.stat().st_size > 1000
+    # empty cloud must not crash (skip-and-log philosophy)
+    save_lidar_scene_3d(
+        np.zeros((0, 4), np.float32), str(tmp_path / "empty.png")
+    )
+    assert (tmp_path / "empty.png").exists()
+
+
+def test_ros_node_importable_and_extract_xyz():
+    """The rclpy shim must import on ROS-less hosts, and its pure-numpy
+    PointCloud2 parser must decode a duck-typed message (float32 fields
+    at declared offsets, skip_nans semantics)."""
+    from distropointclouds_tpu.stream import ros_node
+
+    assert hasattr(ros_node, "ScanContextRosNode")
+
+    class Field:
+        def __init__(self, name, offset, datatype):
+            self.name, self.offset, self.datatype = name, offset, datatype
+
+    class Msg:
+        pass
+
+    rng = np.random.default_rng(3)
+    xyz = rng.normal(size=(64, 3)).astype(np.float32)
+    rec = np.zeros(
+        64,
+        dtype=np.dtype(
+            {
+                "names": ["x", "y", "z", "intensity"],
+                "formats": [np.float32] * 4,
+                "offsets": [0, 4, 8, 12],
+                "itemsize": 16,
+            }
+        ),
+    )
+    rec["x"], rec["y"], rec["z"] = xyz.T
+    rec["x"][7] = np.nan
+    msg = Msg()
+    msg.fields = [
+        Field("x", 0, 7), Field("y", 4, 7), Field("z", 8, 7),
+        Field("intensity", 12, 7),
+    ]
+    msg.point_step = 16
+    msg.data = rec.tobytes()
+    got = ros_node.extract_xyz(msg)
+    assert got.shape == (63, 3)
+    np.testing.assert_allclose(got, np.delete(xyz, 7, axis=0))
+
+    bad = Msg()
+    bad.fields = [Field("x", 0, 7)]
+    bad.point_step = 4
+    bad.data = b"\x00" * 16
+    with pytest.raises(ValueError):
+        ros_node.extract_xyz(bad)
