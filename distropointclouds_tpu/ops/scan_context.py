@@ -11,8 +11,11 @@ filters ``r <= max_length`` instead of clamping. Both are supported via
 TPU-native design
 -----------------
 TPUs have no scatter atomics, and XLA lowers random scatters to slow
-sequential updates. The production path here is therefore **scatter-free**
-(``impl="sort"``):
+sequential updates. The production path is therefore **scatter-free**
+(``impl="sort_route"``: steps 1-3 below, then a log-shift routing
+network instead of the second sort — see :func:`compact_run_ends`;
+measured 20% faster end-to-end than the two-sort variant, which is kept
+as ``impl="sort"``):
 
 1. Each point is mapped to a flat cell id ``ring * S + sector``; padded /
    dropped points get a sentinel id beyond the grid.
@@ -257,7 +260,7 @@ def scan_context_sort_route(
 def scan_context(
     points: PointBatch | jax.Array,
     cfg: ScanContextConfig = ScanContextConfig(),
-    impl: str = "sort",
+    impl: str = "sort_route",
 ) -> jax.Array:
     """Compute the scan-context descriptor for one scan or a batch.
 
@@ -297,6 +300,6 @@ def scan_context(
 def scan_context_jit(
     points: PointBatch,
     cfg: ScanContextConfig = ScanContextConfig(),
-    impl: str = "sort",
+    impl: str = "sort_route",
 ) -> jax.Array:
     return scan_context(points, cfg, impl)

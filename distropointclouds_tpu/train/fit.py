@@ -44,6 +44,7 @@ def fit(
     mesh=None,
     eval_only: bool = False,
     vis_dir: Optional[str] = None,
+    split: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]] = None,
 ) -> Tuple[TrainState, Dict[str, float]]:
     """Train per the given TrainConfig; returns (best_state, final metrics).
 
@@ -58,9 +59,13 @@ def fit(
         model = MODELS[cfg.model]()
 
     n = len(data)
-    tr_idx, va_idx, te_idx = split_indices(
-        n, cfg, shuffle=cfg.model != "tiny_cnn"
-    )
+    if split is not None:
+        # Explicit index split (e.g. hold out specific golden scans).
+        tr_idx, va_idx, te_idx = (np.asarray(s, np.int64) for s in split)
+    else:
+        tr_idx, va_idx, te_idx = split_indices(
+            n, cfg, shuffle=cfg.model != "tiny_cnn"
+        )
     steps_per_epoch = max(1, len(tr_idx) // cfg.batch_size)
 
     rng = jax.random.key(cfg.seed)
