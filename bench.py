@@ -48,7 +48,35 @@ def main():
     from distropointclouds_tpu.pipeline import shipped_tinycnn_pipeline
 
     cfg = PipelineConfig()
-    fn, variables = shipped_tinycnn_pipeline(cfg)
+    # Stage attribution probes: DPC_BENCH_STAGE=descriptor|probs times a
+    # truncated pipeline (descriptor only / descriptor+CNN) so the full
+    # run's cost can be allocated per stage. Default: full pipeline.
+    stage = os.environ.get("DPC_BENCH_STAGE", "full")
+    if stage != "full":
+        import jax as _jax
+
+        from distropointclouds_tpu.models.torch_import import load_tiny_cnn
+        from distropointclouds_tpu.ops.scan_context import scan_context
+        from distropointclouds_tpu.pipeline import build_pipeline
+
+        if stage == "descriptor":
+            variables = load_tiny_cnn()
+
+            def desc_only(v, pts):
+                grid = scan_context(pts, cfg.scan_context)
+                # probs must DEPEND on the grid so the fence scalar
+                # forces completion; zero-valued to satisfy the sanity
+                # assert.
+                return {"descriptor": grid, "probs": grid[:, :1, :1] * 0.0}
+
+            fn = _jax.jit(desc_only)
+        elif stage == "probs":
+            fn = _jax.jit(build_pipeline("tiny_cnn", cfg, postprocess="none"))
+            variables = load_tiny_cnn()
+        else:
+            raise SystemExit(f"unknown DPC_BENCH_STAGE {stage!r}")
+    else:
+        fn, variables = shipped_tinycnn_pipeline(cfg)
 
     # Build a batch from the golden scans (repeated to BATCH).
     ids = fixtures.GOLDEN_IDS

@@ -239,3 +239,53 @@ def test_compact_run_ends_unit():
     z = jnp.asarray([-1.0, 0.5, 2.0, -3.0, 0.0, 7.0, 1.5, 9.0, 9.5])
     out = np.asarray(compact_run_ends(cells, z, 4))
     np.testing.assert_allclose(out, [2.0, -3.0, 7.0, 1.5])
+
+
+def test_bitonic_body_exact_small(rng):
+    """The VMEM bitonic descriptor body (sort by cell + segmented max +
+    routing) must reproduce scatter-max exactly, including degenerate
+    inputs (all points one cell, all sentinel/padding)."""
+    from distropointclouds_tpu.ops.bitonic import bitonic_descriptor_body
+
+    N, C = 1024, 300
+    cases = {
+        "random": rng.integers(0, C + 1, size=N).astype(np.int32),
+        "all-same": np.zeros(N, np.int32),
+        "all-sentinel": np.full(N, C, np.int32),
+    }
+    for name, cells in cases.items():
+        z = rng.normal(size=N).astype(np.float32)
+        ref = np.full(C, -np.inf, np.float32)
+        for c_, z_ in zip(cells, z):
+            if c_ < C:
+                ref[c_] = max(ref[c_], z_)
+        out = np.asarray(
+            bitonic_descriptor_body(
+                jnp.asarray(cells.reshape(8, 128)),
+                jnp.asarray(z.reshape(8, 128)),
+                C,
+            )
+        ).reshape(-1)[:C]
+        same = (out == ref) | (np.isneginf(out) & np.isneginf(ref))
+        assert same.all(), name
+
+
+def test_bitonic_matches_sorted_midscale(rng):
+    """scan_context_bitonic == scan_context_sorted bit-exactly on a
+    mid-scale random cloud (CPU runs the identical body as plain XLA)."""
+    from distropointclouds_tpu.ops.bitonic import scan_context_bitonic
+    from distropointclouds_tpu.ops.scan_context import scan_context_sorted
+
+    cfg = ScanContextConfig(
+        num_ring=32, num_sector=128, max_length=20.0, max_points=8192
+    )
+    n = 8192
+    xyz = rng.uniform(-25, 25, size=(n, 3)).astype(np.float32)
+    valid = rng.uniform(size=n) < 0.8
+    a = np.asarray(
+        scan_context_sorted(jnp.asarray(xyz), jnp.asarray(valid), cfg)
+    )
+    b = np.asarray(
+        scan_context_bitonic(jnp.asarray(xyz), jnp.asarray(valid), cfg)
+    )
+    np.testing.assert_array_equal(a, b)
