@@ -116,51 +116,39 @@ def _segmented_running_max(cell: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
 
 
 def _flat_shift_down(x: jnp.ndarray, s: int, fill) -> jnp.ndarray:
-    """out[i] = x[i - s] (s > 0, power of two), fill for i < s."""
+    """out[i] = x[i - s] (s > 0, power of two), fill for i < s.
+
+    Every concat keeps the non-concat dimension full (full-width row
+    blocks / full-height lane blocks) — Mosaic rejects narrow-column
+    concats ("offset mismatch on non-concat dimension")."""
     rows, lanes = x.shape
-    flat_fill = jnp.full((1,), fill, x.dtype)
     if s < lanes:
-        body = jnp.concatenate(
-            [jnp.full((rows, s), fill, x.dtype), x[:, :-s]], axis=1
-        )
-        # lanes that wrapped from the previous row
-        carry = jnp.concatenate(
-            [jnp.full((1, s), fill, x.dtype), x[:-1, -s:]], axis=0
+        # A[r, l] = x[r, (l - s) mod lanes] (lane rotation, same row)
+        a = jnp.concatenate([x[:, lanes - s:], x[:, : lanes - s]], axis=1)
+        # B[r] = A[r - 1]; B[0] = fill row
+        b = jnp.concatenate(
+            [jnp.full((1, lanes), fill, x.dtype), a[:-1]], axis=0
         )
         lane = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 1)
-        return jnp.where(lane < s, _place_carry(body, carry, s), body)
+        return jnp.where(lane >= s, a, b)
     sr = s // lanes
     return jnp.concatenate(
         [jnp.full((sr, lanes), fill, x.dtype), x[:-sr]], axis=0
     )
 
 
-def _place_carry(body: jnp.ndarray, carry: jnp.ndarray, s: int) -> jnp.ndarray:
-    """First s lanes of each row take the carried values (padded into
-    lane positions 0..s-1)."""
-    rows, lanes = body.shape
-    pad = jnp.concatenate(
-        [carry, jnp.zeros((rows, lanes - s), body.dtype)], axis=1
-    )
-    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 1)
-    return jnp.where(lane < s, pad, body)
-
-
 def _flat_shift_up(x: jnp.ndarray, s: int, fill) -> jnp.ndarray:
     """out[i] = x[i + s] (s > 0, power of two), fill for i >= n - s."""
     rows, lanes = x.shape
     if s < lanes:
-        body = jnp.concatenate(
-            [x[:, s:], jnp.full((rows, s), fill, x.dtype)], axis=1
-        )
-        carry = jnp.concatenate(
-            [x[1:, :s], jnp.full((1, s), fill, x.dtype)], axis=0
+        # A[r, l] = x[r, (l + s) mod lanes]
+        a = jnp.concatenate([x[:, s:], x[:, :s]], axis=1)
+        # B[r] = A[r + 1]; B[last] = fill row
+        b = jnp.concatenate(
+            [a[1:], jnp.full((1, lanes), fill, x.dtype)], axis=0
         )
         lane = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 1)
-        pad = jnp.concatenate(
-            [jnp.zeros((rows, lanes - s), x.dtype), carry], axis=1
-        )
-        return jnp.where(lane >= lanes - s, pad, body)
+        return jnp.where(lane < lanes - s, a, b)
     sr = s // lanes
     return jnp.concatenate(
         [x[sr:], jnp.full((sr, lanes), fill, x.dtype)], axis=0

@@ -11,11 +11,16 @@ filters ``r <= max_length`` instead of clamping. Both are supported via
 TPU-native design
 -----------------
 TPUs have no scatter atomics, and XLA lowers random scatters to slow
-sequential updates. The production path is therefore **scatter-free**
-(``impl="sort_route"``: steps 1-3 below, then a log-shift routing
-network instead of the second sort — see :func:`compact_run_ends`;
-measured 20% faster end-to-end than the two-sort variant, which is kept
-as ``impl="sort"``):
+sequential updates. Every production path is therefore **scatter-free**;
+``impl="auto"`` picks per backend:
+
+- On TPU: the hand-written VMEM bitonic kernel (``impl="bitonic"``,
+  ops/bitonic.py) — sort-by-cell + segmented max + log-shift routing in
+  one Pallas program, ~1.6x the XLA sort path (docs/PERF.md).
+- Elsewhere: ``impl="sort_route"`` — steps 1-3 below, then the
+  log-shift routing network instead of a second sort (see
+  :func:`compact_run_ends`). The two-sort variant is kept as
+  ``impl="sort"``. All implementations are bit-identical.
 
 1. Each point is mapped to a flat cell id ``ring * S + sector``; padded /
    dropped points get a sentinel id beyond the grid.
@@ -260,7 +265,7 @@ def scan_context_sort_route(
 def scan_context(
     points: PointBatch | jax.Array,
     cfg: ScanContextConfig = ScanContextConfig(),
-    impl: str = "sort_route",
+    impl: str = "auto",
 ) -> jax.Array:
     """Compute the scan-context descriptor for one scan or a batch.
 
@@ -268,8 +273,10 @@ def scan_context(
       points: a :class:`PointBatch` (possibly batched) or a raw
         [N, 3|4] array (treated as fully valid).
       cfg: descriptor configuration (static for jit).
-      impl: "sort_route" (one sort + log-shift routing), "sort" (two
-        sorts), or "scatter" (XLA baseline). All bit-identical.
+      impl: "auto" (bitonic Pallas kernel on TPU, sort_route elsewhere),
+        "bitonic" (VMEM bitonic kernel, ops/bitonic.py), "sort_route"
+        (one sort + log-shift routing), "sort" (two sorts), or
+        "scatter" (XLA baseline). All bit-identical.
 
     Returns:
       [..., num_ring, num_sector] float32 descriptor grid(s).
@@ -280,6 +287,22 @@ def scan_context(
     else:
         xyz = jnp.asarray(points)[..., :3]
         valid = jnp.ones(xyz.shape[:-1], dtype=bool)
+
+    if impl == "auto":
+        impl = "bitonic" if jax.default_backend() == "tpu" else "sort_route"
+    if impl == "bitonic":
+        # Natively batched (the Pallas kernel grids over scans).
+        from .bitonic import scan_context_bitonic
+
+        if xyz.ndim == 2:
+            return scan_context_bitonic(xyz, valid, cfg)
+        batch_shape = xyz.shape[:-2]
+        out = scan_context_bitonic(
+            xyz.reshape((-1,) + xyz.shape[-2:]),
+            valid.reshape((-1,) + valid.shape[-1:]),
+            cfg,
+        )
+        return out.reshape(batch_shape + cfg.grid_shape)
 
     fn = {
         "sort": scan_context_sorted,
@@ -300,6 +323,6 @@ def scan_context(
 def scan_context_jit(
     points: PointBatch,
     cfg: ScanContextConfig = ScanContextConfig(),
-    impl: str = "sort_route",
+    impl: str = "auto",
 ) -> jax.Array:
     return scan_context(points, cfg, impl)

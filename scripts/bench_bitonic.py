@@ -40,10 +40,17 @@ def main():
     t0 = time.time()
     out = np.asarray(fn(jnp.asarray(xyz), jnp.asarray(valid)))
     print(f"compile+first run: {time.time() - t0:.1f}s")
+    ref = np.asarray(
+        jax.jit(jax.vmap(lambda p, v: scan_context_sort_route(p, v, cfg)))(
+            jnp.asarray(xyz), jnp.asarray(valid)
+        )
+    )
     for i, sid in enumerate(fixtures.GOLDEN_IDS):
         bad = int((out[i] != fixtures.golden_descriptor(sid)).sum())
-        print(f"{sid}: {bad} cells vs golden")
+        vs_sort = int((out[i] != ref[i]).sum())
+        print(f"{sid}: {bad} cells vs golden, {vs_sort} vs on-TPU sort_route")
         assert bad <= 10, (sid, bad)
+        assert vs_sort == 0, (sid, vs_sort)
 
     # timing vs sort_route at batch B
     rng = np.random.default_rng(0)
