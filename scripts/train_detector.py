@@ -32,10 +32,10 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DATA_DIR = os.path.join(REPO, "runs", "detector_data")
-CKPT_DIR = os.path.join(REPO, "runs", "detector_ckpt")
-VAL_ID = 2160  # held-out golden scan
+VAL_ID = 2160  # held-out golden scan (override: DPC_DET_VAL=2073 etc.)
+_VAL = int(os.environ.get("DPC_DET_VAL", VAL_ID))
+CKPT_DIR = os.path.join(REPO, "runs", f"detector_ckpt_{_VAL:06d}")
 EPOCHS = int(os.environ.get("DPC_DET_EPOCHS", "240"))
-VAL_OVERRIDE = os.environ.get("DPC_DET_VAL")  # e.g. "002073"
 EVAL_EVERY = 10  # eval is host-bound matching; don't run it every epoch
 
 
@@ -153,7 +153,7 @@ def main():
     from distropointclouds_tpu.train.data import load_scan_context_dir
     from distropointclouds_tpu.train.fit import fit
 
-    val_id = int(VAL_OVERRIDE) if VAL_OVERRIDE else VAL_ID
+    val_id = _VAL
     assemble_dataset()
     augment_dataset(exclude=f"{val_id:06d}")
     data = load_scan_context_dir(DATA_DIR)
