@@ -218,8 +218,15 @@ def cmd_detect(args) -> int:
     from ..core.types import PointBatch
     from ..pipeline import jit_pipeline
 
+    from ..core.config import DetectorConfig
+
     variables = _load_variables(args)
-    cfg = PipelineConfig()
+    det = DetectorConfig()
+    if args.threshold is not None:
+        det = dataclasses.replace(
+            det, peak_threshold=args.threshold, mask_threshold=args.threshold
+        )
+    cfg = PipelineConfig(normalize=args.normalize, detector=det)
     fn = jit_pipeline(args.model, cfg, args.postprocess)
     scan = np.fromfile(args.bin, dtype=np.float32).reshape(-1, 4)
     pb = PointBatch.from_numpy(scan, cfg.scan_context.max_points)
@@ -419,6 +426,12 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--bin", required=True)
     d.add_argument("--postprocess", default="components",
                    choices=["components", "peaks", "banded"])
+    d.add_argument("--normalize", default="minmax",
+                   choices=["minmax", "clip", "none"],
+                   help="minmax = tiny_cnn/sc_unet semantics, clip = "
+                        "tiny_unet (train_sc_ped.py:160)")
+    d.add_argument("--threshold", type=float, default=None,
+                   help="peak/mask threshold override")
     d.add_argument("--out_json", default=None)
     d.set_defaults(fn=cmd_detect)
 
