@@ -97,9 +97,16 @@ class ScanContextStream:
             valid = points.valid_mask()
             if voxel > 0:
                 xyz, valid = voxel_downsample(xyz, valid, voxel)
-            from ..ops.scan_context import scan_context_sorted
+            # Same auto dispatch as ops.scan_context: the bitonic VMEM
+            # kernel on TPU, the sort+routing path elsewhere (all
+            # bit-identical).
+            if jax.default_backend() == "tpu":
+                from ..ops.bitonic import scan_context_bitonic
 
-            return scan_context_sorted(xyz, valid, sc_cfg)
+                return scan_context_bitonic(xyz, valid, sc_cfg)
+            from ..ops.scan_context import scan_context_sort_route
+
+            return scan_context_sort_route(xyz, valid, sc_cfg)
 
         self._program = jax.jit(program)
 
