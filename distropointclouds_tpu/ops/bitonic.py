@@ -297,9 +297,15 @@ def scan_context_bitonic(
         z = jnp.pad(z, ((0, 0), (0, n2 - N)), constant_values=NEG)
 
     flat = bitonic_grid_from_bins(cell, z, num_cells, interpret=interpret)
-    fill = jnp.float32(_empty_fill(cfg))
-    grid = jnp.where(jnp.isneginf(flat), fill, flat).reshape(
-        (B,) + cfg.grid_shape
-    )
-    grid = _finalize(grid, cfg)
+    if cfg.use_full_height_range:
+        grid = jnp.where(jnp.isneginf(flat), jnp.float32(0.0), flat)
+    else:
+        # Offset mode accumulates from 0 (scaner_version2.py:100-102):
+        # the sorted path's markers floor every cell's max at 0.0, so a
+        # cell whose points are all below the offset reports 0, not its
+        # negative maximum.
+        grid = jnp.maximum(
+            jnp.where(jnp.isneginf(flat), jnp.float32(0.0), flat), 0.0
+        )
+    grid = _finalize(grid.reshape((B,) + cfg.grid_shape), cfg)
     return grid[0] if squeeze else grid

@@ -289,3 +289,30 @@ def test_bitonic_matches_sorted_midscale(rng):
         scan_context_bitonic(jnp.asarray(xyz), jnp.asarray(valid), cfg)
     )
     np.testing.assert_array_equal(a, b)
+
+
+def test_bitonic_matches_sorted_all_profiles(rng):
+    """Bitonic == sorted bit-exactly under drop-policy and offset-height
+    profiles too (regression: offset mode floors every cell's max at 0
+    via the sorted path's markers — the bitonic finalization must apply
+    the same floor)."""
+    import dataclasses
+
+    from distropointclouds_tpu.ops.bitonic import scan_context_bitonic
+    from distropointclouds_tpu.ops.scan_context import scan_context_sorted
+
+    for name in ("golden_v2", "ros_node", "scaner_v1"):
+        cfg = dataclasses.replace(
+            getattr(ScanContextConfig, name)(),
+            num_ring=32, num_sector=128, max_points=8192,
+        )
+        xyz = rng.uniform(-90, 90, size=(4096, 3)).astype(np.float32)
+        xyz[:, 2] = rng.uniform(-6, 2, size=4096)  # many below the offset
+        valid = rng.uniform(size=4096) < 0.8
+        a = np.asarray(
+            scan_context_sorted(jnp.asarray(xyz), jnp.asarray(valid), cfg)
+        )
+        b = np.asarray(
+            scan_context_bitonic(jnp.asarray(xyz), jnp.asarray(valid), cfg)
+        )
+        np.testing.assert_array_equal(a, b, err_msg=name)
