@@ -199,6 +199,23 @@ def components_to_detections(
     )
 
 
+def _exclusive_rank(flags: jnp.ndarray) -> jnp.ndarray:
+    """Exclusive prefix count of True flags over a flat [N] array,
+    N % 128 == 0. Two-level: within-row exclusive cumsum as a matmul
+    with a strictly-lower-triangular ones matrix (MXU work), plus row
+    offsets — ~5x cheaper than jnp.cumsum's reduce_window lowering at
+    this size, and far cheaper than a top_k selection pass."""
+    n = flags.shape[0]
+    lanes = 128
+    rows = n // lanes
+    x = flags.astype(jnp.float32).reshape(rows, lanes)
+    tri = jnp.tril(jnp.ones((lanes, lanes), jnp.float32), k=-1)
+    within = x @ tri.T  # [rows, lanes] exclusive within-row counts
+    row_sums = jnp.sum(x, axis=1)
+    row_off = jnp.cumsum(row_sums) - row_sums
+    return (within + row_off[:, None]).reshape(-1).astype(jnp.int32)
+
+
 def _component_stats_onehot(
     label: jnp.ndarray,
     mask: jnp.ndarray,
@@ -211,18 +228,25 @@ def _component_stats_onehot(
     components_to_detections)."""
     flat = jnp.arange(H * W, dtype=jnp.int32)
     is_root = (label == flat) & mask.reshape(-1)
-    # Select up to `capacity` roots (smallest flat index first): top_k on
-    # the negated index of root pixels.
-    root_score = jnp.where(is_root, -flat, -(H * W + 1))
-    top, _ = jax.lax.top_k(root_score, capacity)
-    roots = -top  # ascending root ids; invalid slots = H*W + 1
-    root_valid = roots <= H * W - 1
+    # Root slot assignment: the k-th root in flat order goes to slot k
+    # (== keeping the `capacity` smallest root ids, exactly like the
+    # top_k selection this replaces — but a two-level prefix count costs
+    # ~20 us/scan where the top_k(64)-of-115200 cost ~176, PERF.md).
+    rank = jnp.where(is_root, _exclusive_rank(is_root), capacity)
+    slot_hot = (
+        rank[None, :] == jnp.arange(capacity, dtype=jnp.int32)[:, None]
+    ).astype(jnp.float32)  # [capacity, H*W], marks slot k's root pixel
+    root_of_slot = (slot_hot @ flat.astype(jnp.float32)[:, None])[:, 0]
+    root_valid = jnp.sum(slot_hot, axis=1) > 0
+    roots = jnp.where(
+        root_valid, root_of_slot.astype(jnp.int32), H * W + 1
+    )
 
-    onehot = (label[None, :] == roots[:, None]).astype(jnp.float32)
+    comp = (label[None, :] == roots[:, None]).astype(jnp.float32)
     rr = (flat // W).astype(jnp.float32)
     ss = (flat % W).astype(jnp.float32)
     feats = jnp.stack([jnp.ones_like(rr), rr, ss], axis=-1)  # [H*W, 3]
-    stats = onehot @ feats  # [capacity, 3] on the MXU
+    stats = comp @ feats  # [capacity, 3] on the MXU
     area = stats[:, 0]
     valid = root_valid & (area >= min_pixels)
     # Order by area descending like the sort backend.
