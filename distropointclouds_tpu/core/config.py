@@ -264,3 +264,13 @@ class PipelineConfig:
     detector: DetectorConfig = DetectorConfig()
     mesh: MeshConfig = MeshConfig()
     normalize: str = "minmax"
+    # Matmul/conv precision for the CNN stage. None = the backend
+    # default (on TPU: single-pass bf16 MXU — the deployment analog of
+    # the reference's CUDA AMP autocast, train_sc_ped.py:365-386).
+    # Measured on-TPU vs the torch f32 oracle (scripts/
+    # bench_cnn_precision.py, B=96): None/bfloat16 273 us/scan,
+    # max |dlogit| 2.6e-2; "tensorfloat32" 322 us, 1.4e-4;
+    # "float32" 428 us, 1.4e-6 (the 1e-4 logit-parity contract
+    # on-device). The descriptor stage is integer/compare math and is
+    # bit-exact under every setting.
+    matmul_precision: Optional[str] = None

@@ -105,7 +105,17 @@ def build_pipeline(
         if squeeze:
             grid = grid[None]
         x = normalize(grid, cfg.normalize)
-        logits = model.apply(variables, x[..., None], train=False)
+        if cfg.matmul_precision is not None:
+            # Trace-time context: every conv/einsum the model builds
+            # inside it carries this precision. "float32" gives the
+            # verified on-TPU 1e-4 logit parity vs torch; the default
+            # (None -> backend default, bf16 MXU passes on TPU) is the
+            # deployment analog of the reference's CUDA AMP path
+            # (measured tradeoffs: core/config.py matmul_precision).
+            with jax.default_matmul_precision(cfg.matmul_precision):
+                logits = model.apply(variables, x[..., None], train=False)
+        else:
+            logits = model.apply(variables, x[..., None], train=False)
         if isinstance(logits, tuple):
             logits = logits[0]
         probs = jax.nn.sigmoid(logits[..., 0])

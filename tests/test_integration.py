@@ -107,3 +107,34 @@ def test_reconstruct_rebin_roundtrip_all_goldens(reference_available):
         pb = PointBatch.from_numpy(pv, cfg.max_points)
         regrid = np.asarray(scan_context(pb, cfg))
         np.testing.assert_array_equal(regrid, np.asarray(grid))
+
+
+def test_matmul_precision_knob(reference_available):
+    """PipelineConfig.matmul_precision threads through to the CNN stage.
+
+    On CPU every precision lowers to exact f32, so "float32" and the
+    default must agree bitwise here; the on-TPU speed/accuracy
+    tradeoffs are measured in scripts/bench_cnn_precision.py (default
+    bf16-pass 273 us/scan |dlogit| 2.6e-2; float32 428 us 1.4e-6 —
+    the on-device 1e-4 parity mode).
+    """
+    import dataclasses
+
+    from distropointclouds_tpu.pipeline import jit_pipeline
+    from distropointclouds_tpu.models.torch_import import load_tiny_cnn
+
+    cfg = PipelineConfig()
+    variables = load_tiny_cnn()
+    pb = PointBatch.from_numpy(
+        fixtures.golden_scan("000840"), cfg.scan_context.max_points
+    )
+    batch = PointBatch.stack([pb])
+    base = jit_pipeline("tiny_cnn", cfg, "none")(variables, batch)
+    exact = jit_pipeline(
+        "tiny_cnn",
+        dataclasses.replace(cfg, matmul_precision="float32"),
+        "none",
+    )(variables, batch)
+    np.testing.assert_array_equal(
+        np.asarray(base["probs"]), np.asarray(exact["probs"])
+    )
