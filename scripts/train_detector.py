@@ -59,7 +59,7 @@ def assemble_dataset():
     print(f"dataset assembled in {DATA_DIR}")
 
 
-N_SYNTH = int(os.environ.get("DPC_DET_SYNTH", "192"))
+N_SYNTH = int(os.environ.get("DPC_DET_SYNTH", "384"))
 
 
 def augment_dataset(exclude: str = "002160"):
@@ -125,16 +125,34 @@ def augment_dataset(exclude: str = "002160"):
         out_peds = []
         for _ in range(int(rng.integers(1, 7))):
             p = patches[rng.integers(len(patches))]
-            off = int(rng.integers(720))
-            rr = p["cells"][:, 0]
-            ss = (p["cells"][:, 1] + off) % 720
-            sc[rr, ss] = np.maximum(sc[rr, ss], p["values"])
             cr, cs = p["center"]
+            rr = p["cells"][:, 0].copy()
+            ss = p["cells"][:, 1].copy()
+            vals = p["values"].copy()
+            # sector mirror about the patch center (a reflected
+            # pedestrian is an equally valid pedestrian)
+            if rng.random() < 0.5:
+                ss = 2 * cs - ss
+            # radial jitter: +-6 rings (+-0.75 m) — the patch footprint
+            # is approximately shift-invariant over that range
+            dr = int(rng.integers(-6, 7))
+            rr = rr + dr
+            # sector rotation (exact for a polar grid)
+            off = int(rng.integers(720))
+            ss = (ss + off) % 720
+            # height jitter + 10% cell dropout (partial occlusion)
+            vals = vals + rng.uniform(-0.15, 0.15)
+            keep = (rr >= 0) & (rr < 160) & (
+                rng.random(len(rr)) >= (0.10 if len(rr) > 6 else 0.0))
+            rr, ss, vals = rr[keep], ss[keep], vals[keep]
+            if len(rr) < 2:
+                continue
+            sc[rr, ss] = np.maximum(sc[rr, ss], vals)
             out_peds.append(
                 {
                     "class": "Pedestrian",
                     **p["meta"],
-                    "center_ring_idx": int(cr),
+                    "center_ring_idx": int(np.clip(cr + dr, 0, 159)),
                     "center_sector_idx": int((cs + off) % 720),
                     "covered_cells": np.stack([rr, ss], 1).tolist(),
                 }
@@ -210,6 +228,11 @@ def main():
         out = fn(variables, pb)
         det = out["detections"]
         gts = fixtures.golden_centers(sid)
+        # The reference JSONs list every pedestrian twice (~1 cm apart,
+        # SURVEY §2.3), which halves the attainable recall of a
+        # one-to-one matcher. Report both the reference-faithful and
+        # the deduplicated-GT metrics.
+        gts_unique = sorted(set(gts))
         results[sid] = {"role": role}
         for thr in (0.35, 0.2):
             preds = [
@@ -222,6 +245,11 @@ def main():
             ]
             tp, fp, fn_ = M.match_centers(preds, gts)
             results[sid][f"thr{thr}"] = {
+                "preds": len(preds), "tp": tp, "fp": fp, "fn": fn_,
+                **M.precision_recall_f1(tp, fp, fn_),
+            }
+            tp, fp, fn_ = M.match_centers(preds, gts_unique)
+            results[sid][f"thr{thr}_dedup"] = {
                 "preds": len(preds), "tp": tp, "fp": fp, "fn": fn_,
                 **M.precision_recall_f1(tp, fp, fn_),
             }
