@@ -264,13 +264,28 @@ class PipelineConfig:
     detector: DetectorConfig = DetectorConfig()
     mesh: MeshConfig = MeshConfig()
     normalize: str = "minmax"
-    # Matmul/conv precision for the CNN stage. None = the backend
-    # default (on TPU: single-pass bf16 MXU — the deployment analog of
-    # the reference's CUDA AMP autocast, train_sc_ped.py:365-386).
-    # Measured on-TPU vs the torch f32 oracle (scripts/
-    # bench_cnn_precision.py, B=96): None/bfloat16 273 us/scan,
-    # max |dlogit| 2.6e-2; "tensorfloat32" 322 us, 1.4e-4;
-    # "float32" 428 us, 1.4e-6 (the 1e-4 logit-parity contract
-    # on-device). The descriptor stage is integer/compare math and is
-    # bit-exact under every setting.
+    # CNN-stage numerics. Two independent knobs, both trace-time:
+    #
+    # compute_dtype: activation/compute dtype of the CNN
+    # ("bfloat16" | "float32"). Params stay f32 either way. On TPU the
+    # MXU truncates f32 conv inputs to bf16 at default precision
+    # anyway, so f32 activations add HBM traffic without adding
+    # accuracy: an f32 epilogue (bias/BN) blocks XLA's bf16
+    # propagation and nearly doubles forward time (measured TinyCNN
+    # B=96: f32 272 us/scan |dlogit| 2.6e-2 vs torch; bf16 160 us,
+    # 3.0e-2 — scripts/bench_cnn_fold2.py / docs/PERF.md). bf16 is the
+    # deployment default, the analog of the reference's CUDA AMP
+    # autocast (train_sc_ped.py:365-386).
+    #
+    # matmul_precision: lax precision for convs/einsums (None = backend
+    # default). With compute_dtype="float32" and
+    # matmul_precision="float32" the pipeline reproduces torch logits
+    # to 1.4e-6 on device at 428 us/scan — the exact-parity mode
+    # (PipelineConfig.exact()).
+    compute_dtype: str = "bfloat16"
     matmul_precision: Optional[str] = None
+
+    @classmethod
+    def exact(cls, **kw) -> "PipelineConfig":
+        """On-device 1e-4 logit-parity mode (measured 1.4e-6)."""
+        return cls(compute_dtype="float32", matmul_precision="float32", **kw)

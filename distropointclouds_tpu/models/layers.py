@@ -112,11 +112,17 @@ class ConvBNReLU(nn.Module):
             dtype=self.dtype,
             name="conv",
         )(x)
+        # BN computes in the model dtype (params stay f32). An f32 BN
+        # after a bf16 conv would break XLA's bf16 propagation: the f32
+        # elementwise epilogue forces every inter-layer activation to
+        # materialize in f32, nearly doubling the CNN's HBM traffic
+        # (measured: TinyCNN fwd 270 -> 152 us/scan at B=96 once the
+        # whole chain stays bf16 — docs/PERF.md, bias-add finding).
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,
             epsilon=1e-5,
-            dtype=jnp.float32,
+            dtype=self.dtype,
             name="bn",
         )(x)
         return nn.relu(x)

@@ -32,19 +32,19 @@ class TinyCNN(nn.Module):
         x = ConvTranspose2x2(64, dtype=d, name="dec1")(x)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=jnp.float32, name="dbn1",
+            dtype=d, name="dbn1",
         )(x)
         x = nn.relu(x)
         x = ConvTranspose2x2(32, dtype=d, name="dec2")(x)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=jnp.float32, name="dbn2",
+            dtype=d, name="dbn2",
         )(x)
         x = nn.relu(x)
         x = ConvTranspose2x2(16, dtype=d, name="dec3")(x)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=jnp.float32, name="dbn3",
+            dtype=d, name="dbn3",
         )(x)
         x = nn.relu(x)
         x = nn.Conv(1, (1, 1), padding="VALID", dtype=d, name="head")(x)

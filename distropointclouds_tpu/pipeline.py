@@ -68,7 +68,10 @@ def build_pipeline(
     'descriptor' [B, R, S], 'probs' [B, R, S], 'detections' (absent for
     "none"). Wrap with jax.jit yourself or use :func:`jit_pipeline`.
     """
-    model = MODELS[model_name](**(model_kwargs or {}))
+    kwargs = dict(model_kwargs or {})
+    # CNN compute dtype from the config (explicit model_kwargs win).
+    kwargs.setdefault("dtype", jnp.dtype(cfg.compute_dtype))
+    model = MODELS[model_name](**kwargs)
     det = cfg.detector
 
     def batched_components(mask):

@@ -26,10 +26,13 @@ rng = np.random.default_rng(0)
 
 
 def timed(name, fn, *args):
-    fn_j = jax.jit(fn)
+    # full-sum inside jit: queued outputs must be scalars (20 live
+    # [96,160,720,32] activations OOM HBM), and a full reduction can't
+    # be dead-code-eliminated (uniform small bias on every variant).
+    fn_j = jax.jit(lambda *a: jnp.sum(fn(*a)))
 
     def fence(o):
-        return float(jnp.sum(o[:, 0, 0, 0]))
+        return float(o)
 
     fence(fn_j(*args))
     fence(fn_j(*args))

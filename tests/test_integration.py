@@ -109,32 +109,42 @@ def test_reconstruct_rebin_roundtrip_all_goldens(reference_available):
         np.testing.assert_array_equal(regrid, np.asarray(grid))
 
 
-def test_matmul_precision_knob(reference_available):
-    """PipelineConfig.matmul_precision threads through to the CNN stage.
+def test_pipeline_numerics_knobs(reference_available):
+    """PipelineConfig.compute_dtype / matmul_precision thread through.
 
-    On CPU every precision lowers to exact f32, so "float32" and the
-    default must agree bitwise here; the on-TPU speed/accuracy
-    tradeoffs are measured in scripts/bench_cnn_precision.py (default
-    bf16-pass 273 us/scan |dlogit| 2.6e-2; float32 428 us 1.4e-6 —
-    the on-device 1e-4 parity mode).
+    On CPU every matmul precision lowers to exact f32, so the f32-dtype
+    default-precision pipeline must agree bitwise with
+    PipelineConfig.exact(); the bf16 deployment default must stay
+    prob-close to it. On-TPU tradeoffs are measured in
+    scripts/bench_cnn_precision.py / bench_cnn_fold2.py (bf16 160
+    us/scan |dlogit| 3.0e-2; exact 428 us 1.4e-6 — the 1e-4 parity
+    mode on device).
     """
-    import dataclasses
-
     from distropointclouds_tpu.pipeline import jit_pipeline
     from distropointclouds_tpu.models.torch_import import load_tiny_cnn
 
-    cfg = PipelineConfig()
     variables = load_tiny_cnn()
+    cfg = PipelineConfig()
+    assert cfg.compute_dtype == "bfloat16"  # deployment default
     pb = PointBatch.from_numpy(
         fixtures.golden_scan("000840"), cfg.scan_context.max_points
     )
     batch = PointBatch.stack([pb])
-    base = jit_pipeline("tiny_cnn", cfg, "none")(variables, batch)
-    exact = jit_pipeline(
-        "tiny_cnn",
-        dataclasses.replace(cfg, matmul_precision="float32"),
-        "none",
+    fast = jit_pipeline("tiny_cnn", cfg, "none")(variables, batch)
+    f32 = jit_pipeline(
+        "tiny_cnn", PipelineConfig(compute_dtype="float32"), "none"
     )(variables, batch)
-    np.testing.assert_array_equal(
-        np.asarray(base["probs"]), np.asarray(exact["probs"])
+    exact = jit_pipeline("tiny_cnn", PipelineConfig.exact(), "none")(
+        variables, batch
     )
+    np.testing.assert_array_equal(
+        np.asarray(f32["probs"]), np.asarray(exact["probs"])
+    )
+    # descriptor is bit-identical under every numeric mode
+    np.testing.assert_array_equal(
+        np.asarray(fast["descriptor"]), np.asarray(exact["descriptor"])
+    )
+    delta = float(
+        np.abs(np.asarray(fast["probs"]) - np.asarray(exact["probs"])).max()
+    )
+    assert delta < 0.02, delta
