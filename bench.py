@@ -36,7 +36,7 @@ jax.config.update(
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 REFERENCE_CPU_DESCRIPTOR_SCANS_PER_SEC = 85.0  # SURVEY §6, measured
-BATCH = int(os.environ.get("DPC_BENCH_BATCH", "96"))
+BATCH = int(os.environ.get("DPC_BENCH_BATCH", "128"))
 WARMUP = 3
 ITERS = int(os.environ.get("DPC_BENCH_ITERS", "20"))
 
