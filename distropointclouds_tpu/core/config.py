@@ -284,6 +284,13 @@ class PipelineConfig:
     # (PipelineConfig.exact()).
     compute_dtype: str = "bfloat16"
     matmul_precision: Optional[str] = None
+    # CNN implementation for the tiny_cnn model: "flax" (XLA convs, the
+    # deployed default) or "pallas" (the fused VMEM planar kernels,
+    # ops/cnn_pallas.py — parity-correct but measured SLOWER than XLA
+    # on this chip because TinyCNN's weight matrices are too small to
+    # fill the MXU either way; kept as an experimental backend, see
+    # docs/PERF.md "Fused Pallas CNN").
+    cnn_impl: str = "flax"
 
     @classmethod
     def exact(cls, **kw) -> "PipelineConfig":

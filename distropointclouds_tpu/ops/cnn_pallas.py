@@ -132,9 +132,11 @@ def fold_weights(variables: Dict, eps: float = 1e-5) -> Dict[str, jnp.ndarray]:
     }
     hk = p["head"]["kernel"][0, 0, :, 0]         # [16]
     hb = p["head"]["bias"][0]
-    wh = jnp.kron(jnp.eye(64, dtype=hk.dtype), hk[None, :])   # [64, 1024]
-    out["wh"] = jnp.concatenate(
-        [wh, jnp.full((64, 1), hb, wh.dtype)], axis=1
+    # head + per-p3 channel sum as one [4, 65] dot: row p3 holds w[c]
+    # at col p3*16+c, bias in the ones column.
+    wh = jnp.kron(jnp.eye(4, dtype=hk.dtype), hk[None, :])    # [4, 64]
+    out["wh4"] = jnp.concatenate(
+        [wh, jnp.full((4, 1), hb, wh.dtype)], axis=1
     )
     return {k: v.astype(jnp.float32) for k, v in out.items()}
 
@@ -165,14 +167,24 @@ def _im2col(x: jnp.ndarray, woff: int, wlvl: int, taps=None,
     (wlvl + 1) of the array edges -- callers size their slack so the
     written interior never reads them."""
     rows, n = x.shape
+    # the two w-edge masks depend only on dw -- compute once, reuse
+    # across all dh taps
+    masks = {
+        -1: _wmask(rows, n, woff, wlvl, -1, x.dtype),
+        1: _wmask(rows, n, woff, wlvl, 1, x.dtype),
+    }
     parts = []
     for dh in (-1, 0, 1):
+        if taps is not None and dh not in taps:
+            continue
+        # one expensive row rotation per dh, shared by its three dw taps
+        # (sub-128 lane rotations are the dominant Mosaic cost; +-1 on
+        # top is the cheap case)
+        base = _rot(x, dh * wlvl)
         for dw in (-1, 0, 1):
-            if taps is not None and dh not in taps:
-                continue
-            t = _rot(x, dh * wlvl + dw)
+            t = _rot(base, dw)
             if dw != 0:
-                t = t * _wmask(rows, n, woff, wlvl, dw, x.dtype)
+                t = t * masks[dw]
             parts.append(t)
     if with_ones:
         parts.append(jnp.ones((1, n), x.dtype))
@@ -187,12 +199,13 @@ def _dot(w, x):
 
 # ----------------------------------------------------------- kernel 1
 
-def k1_body(xpad: jnp.ndarray, w1, w2, s) -> jnp.ndarray:
-    """conv1+conv2 for strip s. xpad [1, LPAD1] bf16 (zero-padded flat
-    scan), returns the strip's conv2 output [32, LS1] bf16."""
-    dt = xpad.dtype
-    off = s * LS1 if isinstance(s, int) else pl.multiple_of(s * LS1, 128)
-    xs = jax.lax.dynamic_slice(xpad, (0, off), (1, XS1))
+def k1_body(xs: jnp.ndarray, w1, w2, s) -> jnp.ndarray:
+    """conv1+conv2 for strip s. xs [1, XS1] bf16: the strip slice (with
+    SLACK1 halo each side) of the zero-padded flat scan. Returns the
+    strip's conv2 output [32, LS1] bf16. (The strip slice happens at
+    the REF level in the kernel -- Pallas TPU has no dynamic_slice
+    lowering for values.)"""
+    dt = xs.dtype
     ic1 = _im2col(xs, SLACK1, W)                     # [10, XS1]
     a1 = jnp.maximum(_dot(w1, ic1), 0.0)             # [16, XS1] f32
     # conv zero-padding: a1 must be 0 OUTSIDE the true image (x there is
@@ -207,23 +220,26 @@ def k1_body(xpad: jnp.ndarray, w1, w2, s) -> jnp.ndarray:
 
 def _k1_kernel(x_ref, w1_ref, w2_ref, o_ref):
     s = pl.program_id(1)
-    o_ref[0] = k1_body(x_ref[0], w1_ref[...], w2_ref[...], s)
+    off = pl.multiple_of(s * LS1, 128)
+    xs = x_ref[0, :, pl.ds(off, XS1)]
+    o_ref[0] = k1_body(xs, w1_ref[...], w2_ref[...], s)
 
 
 # ----------------------------------------------------------- kernel 2
 
-def k2_body(ppad: jnp.ndarray, w3, s) -> jnp.ndarray:
-    """conv3 for strip s. ppad [32, LPAD2] bf16 -> [64, LS2] bf16."""
-    dt = ppad.dtype
-    off = s * LS2 if isinstance(s, int) else pl.multiple_of(s * LS2, 128)
-    xs = jax.lax.dynamic_slice(ppad, (0, off), (32, XS2))
+def k2_body(xs: jnp.ndarray, w3) -> jnp.ndarray:
+    """conv3 for one strip. xs [32, XS2] bf16 (strip + halo) ->
+    [64, LS2] bf16."""
+    dt = xs.dtype
     X = _im2col(xs, SLACK2, W2)                      # [289, XS2]
     y = jnp.maximum(_dot(w3, X), 0.0)
     return y[:, SLACK2:SLACK2 + LS2].astype(dt)
 
 
 def _k2_kernel(p_ref, w3_ref, o_ref):
-    o_ref[0] = k2_body(p_ref[0], w3_ref[...], pl.program_id(1))
+    s = pl.program_id(1)
+    off = pl.multiple_of(s * LS2, 128)
+    o_ref[0] = k2_body(p_ref[0, :, pl.ds(off, XS2)], w3_ref[...])
 
 
 # ----------------------------------------------------------- kernel 3
@@ -244,9 +260,14 @@ def _k3_kernel(p_ref, w0_ref, wa_ref, wb_ref, o_ref):
 
 # ----------------------------------------------------------- kernel 4
 
-def k4_body(p4: jnp.ndarray, wd1, wd2, wd3, wh) -> jnp.ndarray:
+def k4_body(p4: jnp.ndarray, wd1, wd2, wd3, wh4) -> jnp.ndarray:
     """Decoder: 3 phase-decomposed k2s2 deconvs + head. p4 [128, LPAD4]
-    bf16 -> logits [64 phases, LPAD4] f32."""
+    bf16 -> logits [4, 16*LPAD4] bf16 with rows = p3 and column blocks
+    ordered (p2, p1, pos). Each deconv is ONE matmul: the per-phase row
+    blocks are lane-concatenated so the shared weight applies to every
+    phase at once (separate small dots cost ~0.7 us each of fixed
+    MXU-op overhead). The head is one [4, 65] block-structured dot that
+    also performs the 16-row channel sums and carries the bias."""
     dt = p4.dtype
 
     def aug(x):
@@ -255,26 +276,20 @@ def k4_body(p4: jnp.ndarray, wd1, wd2, wd3, wh) -> jnp.ndarray:
         )
 
     y1 = jnp.maximum(_dot(wd1, aug(p4)), 0.0).astype(dt)    # [256, n]
-    y2 = jnp.concatenate(
-        [
-            jnp.maximum(_dot(wd2, aug(y1[p * 64:(p + 1) * 64])), 0.0)
-            for p in range(4)
-        ],
-        axis=0,
-    ).astype(dt)                                            # [512, n]
-    y3 = jnp.concatenate(
-        [
-            jnp.maximum(_dot(wd3, aug(y2[p * 32:(p + 1) * 32])), 0.0)
-            for p in range(16)
-        ],
-        axis=0,
-    ).astype(dt)                                            # [1024, n]
-    return _dot(wh, aug(y3))                                # [64, n] f32
+    y1c = jnp.concatenate(
+        [y1[p * 64:(p + 1) * 64] for p in range(4)], axis=1
+    )                                                       # [64, 4n] (col blk p1)
+    y2 = jnp.maximum(_dot(wd2, aug(y1c)), 0.0).astype(dt)   # [128, 4n]
+    y2c = jnp.concatenate(
+        [y2[p * 32:(p + 1) * 32] for p in range(4)], axis=1
+    )                                                       # [32, 16n] (col blk p2,p1)
+    y3 = jnp.maximum(_dot(wd3, aug(y2c)), 0.0).astype(dt)   # [64, 16n]
+    return _dot(wh4, aug(y3)).astype(dt)                    # [4, 16n]
 
 
-def _k4_kernel(p_ref, wd1_ref, wd2_ref, wd3_ref, wh_ref, o_ref):
+def _k4_kernel(p_ref, wd1_ref, wd2_ref, wd3_ref, wh4_ref, o_ref):
     o_ref[0] = k4_body(
-        p_ref[0], wd1_ref[...], wd2_ref[...], wd3_ref[...], wh_ref[...]
+        p_ref[0], wd1_ref[...], wd2_ref[...], wd3_ref[...], wh4_ref[...]
     )
 
 
@@ -332,7 +347,13 @@ def tiny_cnn_pallas_forward(
     else:
         a2 = jax.vmap(
             lambda xp: jnp.concatenate(
-                [k1_body(xp, wts["w1"], wts["w2"], s) for s in range(NS1)],
+                [
+                    k1_body(
+                        jax.lax.dynamic_slice(xp, (0, s * LS1), (1, XS1)),
+                        wts["w1"], wts["w2"], s,
+                    )
+                    for s in range(NS1)
+                ],
                 axis=1,
             )
         )(xf)
@@ -355,7 +376,14 @@ def tiny_cnn_pallas_forward(
     else:
         a3 = jax.vmap(
             lambda pp: jnp.concatenate(
-                [k2_body(pp, wts["w3"], s) for s in range(NS2)], axis=1
+                [
+                    k2_body(
+                        jax.lax.dynamic_slice(pp, (0, s * LS2), (32, XS2)),
+                        wts["w3"],
+                    )
+                    for s in range(NS2)
+                ],
+                axis=1,
             )
         )(p2)
 
@@ -388,28 +416,29 @@ def tiny_cnn_pallas_forward(
     if use_pallas or interpret:
         lg = pl.pallas_call(
             _k4_kernel,
-            out_shape=jax.ShapeDtypeStruct((B, 64, LPAD4), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((B, 4, 16 * LPAD4), dtype),
             grid=(B,),
             in_specs=[
                 pl.BlockSpec((1, 128, LPAD4), lambda b: (b, 0, 0)),
                 _wspec((256, 129)),
                 _wspec((128, 65)),
                 _wspec((64, 33)),
-                _wspec((64, 1025)),
+                _wspec((4, 65)),
             ],
-            out_specs=pl.BlockSpec((1, 64, LPAD4), lambda b: (b, 0, 0)),
+            out_specs=pl.BlockSpec((1, 4, 16 * LPAD4), lambda b: (b, 0, 0)),
             interpret=interpret,
-        )(p4, wts["wd1"], wts["wd2"], wts["wd3"], wts["wh"])
+        )(p4, wts["wd1"], wts["wd2"], wts["wd3"], wts["wh4"])
     else:
         lg = jax.vmap(
             lambda pp: k4_body(
-                pp, wts["wd1"], wts["wd2"], wts["wd3"], wts["wh"]
+                pp, wts["wd1"], wts["wd2"], wts["wd3"], wts["wh4"]
             )
         )(p4)
 
-    # depth-to-space: row p = p1*16 + p2*4 + p3 with pk = ak*2 + bk;
+    # depth-to-space: rows are p3, columns (p2, p1, pos); pk = ak*2+bk;
     # h = i*8 + a1*4 + a2*2 + a3, w = j*8 + b1*4 + b2*2 + b3.
-    lg = lg[:, :, :L4].reshape(B, 2, 2, 2, 2, 2, 2, H4, W4)
-    #                 axes:  (B, a1, b1, a2, b2, a3, b3, i, j)
-    lg = jnp.transpose(lg, (0, 7, 1, 3, 5, 8, 2, 4, 6))
-    return lg.reshape(B, H, W)[..., None]
+    lg = lg.reshape(B, 2, 2, 4, 4, LPAD4)[:, :, :, :, :, :L4]
+    lg = lg.reshape(B, 2, 2, 2, 2, 2, 2, H4, W4)
+    #         axes: (B, a3, b3, a2, b2, a1, b1, i, j)
+    lg = jnp.transpose(lg, (0, 7, 5, 3, 1, 8, 6, 4, 2))
+    return lg.reshape(B, H, W).astype(jnp.float32)[..., None]

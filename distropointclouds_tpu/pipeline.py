@@ -108,7 +108,13 @@ def build_pipeline(
         if squeeze:
             grid = grid[None]
         x = normalize(grid, cfg.normalize)
-        if cfg.matmul_precision is not None:
+        if model_name == "tiny_cnn" and cfg.cnn_impl == "pallas":
+            from .ops.cnn_pallas import tiny_cnn_pallas_forward
+
+            logits = tiny_cnn_pallas_forward(
+                variables, x, dtype=jnp.dtype(cfg.compute_dtype)
+            )
+        elif cfg.matmul_precision is not None:
             # Trace-time context: every conv/einsum the model builds
             # inside it carries this precision. "float32" gives the
             # verified on-TPU 1e-4 logit parity vs torch; the default

@@ -70,8 +70,9 @@ def main():
             cp._wspec((16, 10)), cp._wspec((32, 145)),
         ],
         out_specs=pl.BlockSpec((1, 32, cp.LS1), lambda b, s: (b, 0, s)),
-    )(x, w1, w2))
-    a2 = bench("K1 conv1+conv2 (160x720)", k1, xf, wts["w1"], wts["w2"])
+    )(x, w1, w2)[:, :, :128])
+    bench("K1 conv1+conv2 (160x720)", k1, xf, wts["w1"], wts["w2"])
+    a2 = jax.device_put(jnp.asarray(rs.rand(B, 32, cp.L), jnp.bfloat16))
 
     k2 = jax.jit(lambda p, w: pl.pallas_call(
         cp._k2_kernel,
@@ -82,7 +83,7 @@ def main():
             cp._wspec((64, 289)),
         ],
         out_specs=pl.BlockSpec((1, 64, cp.LS2), lambda b, s: (b, 0, s)),
-    )(p, w))
+    )(p, w)[:, :, :128])
     bench("K2 conv3 (80x360)", k2, p2, wts["w3"])
 
     k3 = jax.jit(lambda p, w0, wa, wb: pl.pallas_call(
@@ -94,33 +95,33 @@ def main():
             cp._wspec((128, 193)), cp._wspec((128, 192)), cp._wspec((128, 192)),
         ],
         out_specs=pl.BlockSpec((1, 128, cp.LPAD3), lambda b: (b, 0, 0)),
-    )(p, w0, wa, wb))
+    )(p, w0, wa, wb)[:, :, :128])
     bench("K3 conv4 (40x180)", k3, p3, wts["w4c0"], wts["w4c1"], wts["w4c2"])
 
     k4 = jax.jit(lambda p, a, b_, c, d: pl.pallas_call(
         cp._k4_kernel,
-        out_shape=jax.ShapeDtypeStruct((B, 64, cp.LPAD4), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, 4, 16 * cp.LPAD4), jnp.bfloat16),
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, 128, cp.LPAD4), lambda b: (b, 0, 0)),
             cp._wspec((256, 129)), cp._wspec((128, 65)),
-            cp._wspec((64, 33)), cp._wspec((64, 1025)),
+            cp._wspec((64, 33)), cp._wspec((4, 65)),
         ],
-        out_specs=pl.BlockSpec((1, 64, cp.LPAD4), lambda b: (b, 0, 0)),
-    )(p, a, b_, c, d))
+        out_specs=pl.BlockSpec((1, 4, 16 * cp.LPAD4), lambda b: (b, 0, 0)),
+    )(p, a, b_, c, d)[:, :, :128])
     bench("K4 decoder (20x90)", k4, p4, wts["wd1"], wts["wd2"], wts["wd3"],
-          wts["wh"])
+          wts["wh4"])
 
     def glue(a2):
         p2 = cp._pool(a2, cp.H, cp.W)
         p2 = jnp.pad(p2, ((0, 0), (0, 0), (cp.SLACK2, cp.SLACK2)))
-        return p2
+        return p2[:, :, :128]
     bench("glue pool1+pad", jax.jit(glue), a2)
 
     def interleave(lg):
         lg = lg[:, :, :cp.L4].reshape(B, 2, 2, 2, 2, 2, 2, cp.H4, cp.W4)
         lg = jnp.transpose(lg, (0, 7, 1, 3, 5, 8, 2, 4, 6))
-        return lg.reshape(B, cp.H, cp.W)
+        return lg.reshape(B, cp.H, cp.W)[:, :, :128]
     lgin = jax.device_put(jnp.asarray(rs.rand(B, 64, cp.LPAD4), jnp.float32))
     bench("glue depth-to-space", jax.jit(interleave), lgin)
 

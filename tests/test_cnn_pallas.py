@@ -49,7 +49,7 @@ def test_fold_weights_shapes(variables):
         "w1": (16, 10), "w2": (32, 145), "w3": (64, 289),
         "w4c0": (128, 193), "w4c1": (128, 192), "w4c2": (128, 192),
         "wd1": (256, 129), "wd2": (128, 65), "wd3": (64, 33),
-        "wh": (64, 1025),
+        "wh4": (4, 65),
     }
     assert {k: v.shape for k, v in w.items()} == shapes
 
@@ -84,6 +84,27 @@ def test_interpret_pallas_matches_flax(variables, flax_logits):
         variables, x, interpret=True, use_pallas=False, dtype=jnp.float32
     )
     assert float(jnp.max(jnp.abs(out - ref))) < 1e-4
+
+
+def test_pipeline_cnn_impl_pallas(variables):
+    """cnn_impl="pallas" plugs into build_pipeline and agrees with the
+    flax path end-to-end (raw points -> descriptor -> probs)."""
+    import dataclasses
+
+    from distropointclouds_tpu.core.config import PipelineConfig
+    from distropointclouds_tpu.core.types import PointBatch
+    from distropointclouds_tpu.pipeline import build_pipeline
+
+    cfg = PipelineConfig(compute_dtype="float32")
+    pts = fixtures.golden_scan("000840")
+    pb = PointBatch.from_numpy(pts, cfg.scan_context.max_points)
+    a = build_pipeline("tiny_cnn", cfg, postprocess="none")(variables, pb)
+    cfgp = dataclasses.replace(cfg, cnn_impl="pallas")
+    b = build_pipeline("tiny_cnn", cfgp, postprocess="none")(variables, pb)
+    np.testing.assert_array_equal(
+        np.asarray(a["descriptor"]), np.asarray(b["descriptor"])
+    )
+    assert float(jnp.max(jnp.abs(a["probs"] - b["probs"]))) < 1e-5
 
 
 def test_batched_consistency(variables):
