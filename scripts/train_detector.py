@@ -34,8 +34,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DATA_DIR = os.path.join(REPO, "runs", "detector_data")
 VAL_ID = 2160  # held-out golden scan (override: DPC_DET_VAL=2073 etc.)
 _VAL = int(os.environ.get("DPC_DET_VAL", VAL_ID))
-CKPT_DIR = os.path.join(REPO, "runs", f"detector_ckpt_{_VAL:06d}")
-EPOCHS = int(os.environ.get("DPC_DET_EPOCHS", "240"))
+# DPC_DET_TRAINER=b (TinyUNet heatmap, default) | c (ScanContextUNet
+# covered-cells segmentation, polar convs + banded-threshold inference)
+TRAINER = os.environ.get("DPC_DET_TRAINER", "b")
+_SUFFIX = "" if TRAINER == "b" else f"_{TRAINER}"
+CKPT_DIR = os.path.join(REPO, "runs", f"detector_ckpt{_SUFFIX}_{_VAL:06d}")
+EPOCHS = int(os.environ.get("DPC_DET_EPOCHS", "240" if TRAINER == "b" else "120"))
 EVAL_EVERY = 10  # eval is host-bound matching; don't run it every epoch
 
 
@@ -179,13 +183,22 @@ def main():
     val_idx = np.asarray([data.ids.index(val_id)])
     tr_idx = np.asarray([i for i in range(len(data)) if i != val_idx[0]])
 
-    cfg = dataclasses.replace(
-        TrainConfig.trainer_b(),
-        epochs=EPOCHS,
-        batch_size=16,
-        heat_sigma=2.5,
-        ckpt_dir=CKPT_DIR,
-    )
+    if TRAINER == "b":
+        cfg = dataclasses.replace(
+            TrainConfig.trainer_b(),
+            epochs=EPOCHS,
+            batch_size=16,
+            heat_sigma=2.5,
+            ckpt_dir=CKPT_DIR,
+        )
+    else:
+        cfg = dataclasses.replace(
+            TrainConfig.trainer_c(),
+            epochs=EPOCHS,
+            batch_size=16,
+            early_stop_patience=0,   # tiny val set; keep training
+            ckpt_dir=CKPT_DIR,
+        )
     state, final = fit(
         data,
         cfg,
@@ -215,10 +228,16 @@ def main():
     tag = "best" if best_meta.get("f1", 0.0) > 0.0 else "last"
     print(f"demo checkpoint: {tag} (best f1={best_meta.get('f1')})")
     variables = mgr.restore_variables(tag)
-    pipe_cfg = PipelineConfig(
-        normalize="clip", detector=DetectorConfig(peak_threshold=0.15)
-    )
-    fn = jax.jit(build_pipeline("tiny_unet", pipe_cfg, postprocess="peaks"))
+    if TRAINER == "b":
+        pipe_cfg = PipelineConfig(
+            normalize="clip", detector=DetectorConfig(peak_threshold=0.15)
+        )
+        fn = jax.jit(build_pipeline("tiny_unet", pipe_cfg, postprocess="peaks"))
+    else:
+        # trainer C: minmax normalization, ring-banded thresholds ->
+        # connected components (tiny_sc_pred_v2.py:667-724 semantics)
+        pipe_cfg = PipelineConfig(normalize="minmax")
+        fn = jax.jit(build_pipeline("sc_unet", pipe_cfg, postprocess="banded"))
     results = {}
     for sid in fixtures.GOLDEN_IDS:
         role = "VAL" if int(sid) == val_id else "train"
