@@ -148,3 +148,47 @@ def test_pipeline_numerics_knobs(reference_available):
         np.abs(np.asarray(fast["probs"]) - np.asarray(exact["probs"])).max()
     )
     assert delta < 0.02, delta
+
+
+def test_pipeline_sharded_inference_matches_single_device(reference_available):
+    """Serving-path analog of the SURVEY §4.3 training gate: the FULL
+    inference pipeline (points -> descriptor -> TinyCNN -> peaks) on a
+    batch sharded over the 'data' mesh axis must reproduce the
+    unsharded outputs exactly (descriptor) / to fp tolerance (probs).
+    XLA inserts no collectives here — the batch dim is embarrassingly
+    parallel — so this pins that the whole program actually partitions."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from distropointclouds_tpu.core.config import MeshConfig
+    from distropointclouds_tpu.models.torch_import import load_tiny_cnn
+    from distropointclouds_tpu.parallel.mesh import make_mesh
+    from distropointclouds_tpu.pipeline import build_pipeline
+
+    cfg = PipelineConfig(compute_dtype="float32")
+    variables = load_tiny_cnn()
+    pbs = [
+        PointBatch.from_numpy(
+            fixtures.golden_scan(s), cfg.scan_context.max_points
+        )
+        for s in fixtures.GOLDEN_IDS
+    ]
+    batch = PointBatch.stack(pbs)
+    fn = build_pipeline("tiny_cnn", cfg, postprocess="peaks")
+    ref = jax.jit(fn)(variables, batch)
+
+    mesh = make_mesh(MeshConfig(data=4, sector=1), jax.devices()[:4])
+    bsh = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    sh_batch = jax.tree.map(lambda a: jax.device_put(a, bsh), batch)
+    sharded = jax.jit(fn, in_shardings=(repl, bsh), out_shardings=repl)
+    out = sharded(jax.device_put(variables, repl), sh_batch)
+
+    np.testing.assert_array_equal(
+        np.asarray(out["descriptor"]), np.asarray(ref["descriptor"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["probs"]), np.asarray(ref["probs"]), atol=1e-6
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["detections"].valid), np.asarray(ref["detections"].valid)
+    )
