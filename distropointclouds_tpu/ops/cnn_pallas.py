@@ -36,7 +36,6 @@ the flax model.
 
 from __future__ import annotations
 
-import functools
 from typing import Dict
 
 import jax
@@ -75,7 +74,7 @@ def fold_weights(variables: Dict, eps: float = 1e-5) -> Dict[str, jnp.ndarray]:
       w3 [64, 289]   conv3
       w4c0 [128, 193], w4c1/w4c2 [128, 192]   conv4 dh-chunks
       wd1 [256, 129], wd2 [128, 65], wd3 [64, 33]  deconvs (phase-major)
-      wh [64, 1025]  head as a block-diagonal matmul over the 64 phases
+      wh4 [4, 65]    head + per-p3 channel sum as one block dot
     """
     p = variables["params"]
     s = variables["batch_stats"]
@@ -177,9 +176,9 @@ def _im2col(x: jnp.ndarray, woff: int, wlvl: int, taps=None,
     for dh in (-1, 0, 1):
         if taps is not None and dh not in taps:
             continue
-        # one expensive row rotation per dh, shared by its three dw taps
-        # (sub-128 lane rotations are the dominant Mosaic cost; +-1 on
-        # top is the cheap case)
+        # one row rotation per dh, shared by its three dw taps
+        # (rotations measured ~free on this chip — bench_rot_probe —
+        # so this sharing is structural, not a perf lever)
         base = _rot(x, dh * wlvl)
         for dw in (-1, 0, 1):
             t = _rot(base, dw)

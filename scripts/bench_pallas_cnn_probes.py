@@ -19,7 +19,6 @@ Each probe prints one JSON line; failures print the exception type so a
 single run answers every question.
 """
 
-import functools
 import json
 import os
 import sys
@@ -196,10 +195,6 @@ def _p4_kernel(x_ref, w_ref, o_ref):
                 sh = dh * 720 + dw
                 if sh == 0:
                     parts.append(xs)
-                elif sh > 0:
-                    parts.append(
-                        jnp.concatenate([xs[:, sh:], xs[:, :sh]], axis=1)
-                    )
                 else:
                     parts.append(
                         jnp.concatenate([xs[:, sh:], xs[:, :sh]], axis=1)

@@ -12,7 +12,6 @@ us_per_op = (t_variant - t_add) / 200 / 64  -> the marginal cost of the
 op vs a plain VPU pass. Run on TPU: python scripts/bench_rot_probe.py
 """
 
-import functools
 import json
 import os
 import sys
