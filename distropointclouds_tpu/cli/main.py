@@ -16,6 +16,10 @@ Subcommands covering every reference entry point:
                   (reconstruct_pointcloud.py)
   stream          feed .bin files through the streaming API (the ROS
                   node's offline twin)
+  ros-node        launch the live ROS 2 node (scan_context_node.py:299-308;
+                  needs a sourced rclpy environment)
+  throughput      production serving loop (native loader + pipelined
+                  dispatch, IO-inclusive scans/sec)
   bench           the end-to-end throughput benchmark
 """
 
@@ -355,6 +359,16 @@ def cmd_throughput(args) -> int:
     return 0
 
 
+def cmd_ros_node(args) -> int:
+    """Launch the live ROS 2 node (the reference's `scan_context_node`
+    executable, scan_context_node.py:299-308). Parameters are declared
+    as ROS parameters; pass them via ``--ros-args -p name:=value``.
+    Exits with an explanatory error on hosts without rclpy."""
+    from ..stream.ros_node import main as ros_main
+
+    return ros_main(args.ros_args or None)
+
+
 def cmd_bench(args) -> int:
     import runpy
 
@@ -461,6 +475,12 @@ def build_parser() -> argparse.ArgumentParser:
     tp.add_argument("--repeat", type=int, default=4)
     tp.add_argument("--threads", type=int, default=4)
     tp.set_defaults(fn=cmd_throughput)
+
+    rn = sub.add_parser("ros-node", help=cmd_ros_node.__doc__)
+    rn.add_argument("ros_args", nargs="*",
+                    help="arguments forwarded to rclpy.init (e.g. "
+                         "--ros-args -p topic:=/velodyne_points)")
+    rn.set_defaults(fn=cmd_ros_node)
 
     be = sub.add_parser("bench", help=cmd_bench.__doc__)
     be.set_defaults(fn=cmd_bench)

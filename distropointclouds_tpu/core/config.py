@@ -125,6 +125,11 @@ class DetectorConfig:
 
     mask_threshold: float = 0.5
     min_component_pixels: int = 20
+    # Max connected components returned per scan by the pipeline's
+    # components/banded post-processing (scipy.ndimage.label in the
+    # reference has no cap; a static capacity is the TPU-shape analog —
+    # components beyond it are dropped by root-score top-k).
+    component_capacity: int = 64
     peak_nms_kernel: int = 7
     peak_threshold: float = 0.4
     peak_topk: int = 200

@@ -67,8 +67,9 @@ LPAD4 = 1920                             # 15*128
 def fold_weights(variables: Dict, eps: float = 1e-5) -> Dict[str, jnp.ndarray]:
     """Fold eval-mode BatchNorm into conv weights and pack them planar.
 
-    Returns bf16 matrices (biases ride as the last column, consumed by a
-    ones row in the im2col):
+    Returns f32 matrices — the caller casts them to the compute dtype
+    (biases ride as the last column, consumed by a ones row in the
+    im2col):
       w1 [16, 10]    conv1  (9 taps * 1 ch + bias)
       w2 [32, 145]   conv2  (9 * 16 + bias)
       w3 [64, 289]   conv3

@@ -84,20 +84,21 @@ def build_pipeline(
         vmap — under vmap a cond lowers to select and both branches
         execute."""
         B = mask.shape[0]
+        cap = det.component_capacity
 
         def full(m):
             return jax.vmap(
                 lambda mm: components_to_detections(
-                    mm, det.min_component_pixels, capacity=64,
+                    mm, det.min_component_pixels, capacity=cap,
                     max_iters=det.cc_max_iters,
                 )
             )(m)
 
         def empty(m):
-            zeros = jnp.zeros((B, 64), jnp.float32)
+            zeros = jnp.zeros((B, cap), jnp.float32)
             return Detections(
                 ring=zeros, sector=zeros, score=zeros,
-                valid=jnp.zeros((B, 64), bool),
+                valid=jnp.zeros((B, cap), bool),
             )
 
         return jax.lax.cond(jnp.any(mask), full, empty, mask)
@@ -111,9 +112,21 @@ def build_pipeline(
         if model_name == "tiny_cnn" and cfg.cnn_impl == "pallas":
             from .ops.cnn_pallas import tiny_cnn_pallas_forward
 
-            logits = tiny_cnn_pallas_forward(
-                variables, x, dtype=jnp.dtype(cfg.compute_dtype)
-            )
+            # matmul_precision is honored by the pallas backend too: the
+            # kernel dots carry no explicit precision, so the trace-time
+            # default-precision context threads through, and a requested
+            # "float32" also forces f32 operands (bf16-truncated inputs
+            # would defeat the requested precision before the MXU).
+            pallas_dtype = jnp.dtype(cfg.compute_dtype)
+            if cfg.matmul_precision == "float32":
+                pallas_dtype = jnp.dtype(jnp.float32)
+            if cfg.matmul_precision is not None:
+                with jax.default_matmul_precision(cfg.matmul_precision):
+                    logits = tiny_cnn_pallas_forward(
+                        variables, x, dtype=pallas_dtype
+                    )
+            else:
+                logits = tiny_cnn_pallas_forward(variables, x, dtype=pallas_dtype)
         elif cfg.matmul_precision is not None:
             # Trace-time context: every conv/einsum the model builds
             # inside it carries this precision. "float32" gives the

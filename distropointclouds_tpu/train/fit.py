@@ -45,6 +45,7 @@ def fit(
     eval_only: bool = False,
     vis_dir: Optional[str] = None,
     split: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]] = None,
+    eval_every: int = 1,
 ) -> Tuple[TrainState, Dict[str, float]]:
     """Train per the given TrainConfig; returns (best_state, final metrics).
 
@@ -52,11 +53,19 @@ def fit(
     (train_sc_ped.py:536: best.pt on F1), pixel IoU otherwise
     (tiny_sc_ped.py:262, tiny_sc_pred_v2 uses F1 over pixels — we use
     IoU for tiny_cnn and pixel F1 for sc_unet).
+
+    eval_every: run the validation pass (which includes the host-bound
+    greedy center matcher) every N epochs instead of every epoch; the
+    final epoch always evaluates. Checkpoint selection / early stopping
+    tick only on evaluated epochs.
     """
     from ..pipeline import MODELS
 
     if model is None:
-        model = MODELS[cfg.model]()
+        # compute_dtype: bf16 activations with f32 params/optimizer state
+        # — the TPU-native analog of trainer B's CUDA AMP + GradScaler
+        # (train_sc_ped.py:365-386,515; no loss scaling needed in bf16).
+        model = MODELS[cfg.model](dtype=jnp.dtype(cfg.compute_dtype))
 
     n = len(data)
     if split is not None:
@@ -264,7 +273,8 @@ def fit(
             np.average(np.asarray(jnp.stack(train_losses)), weights=train_counts)
         )
 
-        val = run_eval(va_idx, epoch)
+        do_eval = (epoch % max(1, eval_every) == 0) or epoch == cfg.epochs
+        val = run_eval(va_idx, epoch) if do_eval else {}
         sel = val.get("f1" if cfg.model != "tiny_cnn" else "iou", 0.0)
         rec = {
             "epoch": epoch,
@@ -282,16 +292,19 @@ def fit(
         )
 
         ckpt.save("last", state, epoch, {**val, "best_metric": best_metric})
-        if sel > best_metric:
-            best_metric = sel
-            best_state = state
-            ckpt.save("best", state, epoch, {**val, "best_metric": best_metric})
-            patience_left = cfg.early_stop_patience or np.inf
-        else:
-            patience_left -= 1
-            if patience_left <= 0:
-                print(f"early stop at epoch {epoch}")
-                break
+        if do_eval:
+            if sel > best_metric:
+                best_metric = sel
+                best_state = state
+                ckpt.save(
+                    "best", state, epoch, {**val, "best_metric": best_metric}
+                )
+                patience_left = cfg.early_stop_patience or np.inf
+            else:
+                patience_left -= 1
+                if patience_left <= 0:
+                    print(f"early stop at epoch {epoch}")
+                    break
 
     final: Dict[str, float] = {}
     if len(te_idx):

@@ -117,6 +117,12 @@ def compute_loss(
         logits, mask_logits = logits
     else:
         mask_logits = None
+    # Losses always reduce in f32 even when the model computes in bf16
+    # (mixed precision): the analog of CUDA AMP's autocast running
+    # BCE-with-logits in fp32 (train_sc_ped.py:365-386).
+    logits = logits.astype(jnp.float32)
+    if mask_logits is not None:
+        mask_logits = mask_logits.astype(jnp.float32)
     y = batch["target"]
     # Per-sample weights [B] mask padded duplicate samples (the final
     # partial batch is padded by repetition for static shapes; weight 0
@@ -203,6 +209,7 @@ def make_eval_step(model, cfg: TrainConfig) -> Callable:
         )
         loss, aux = compute_loss(cfg, out, batch)
         logits = out[0] if isinstance(out, tuple) else out
+        logits = logits.astype(jnp.float32)  # f32 probs under bf16 compute
         aux["iou"] = L.iou_from_logits(
             logits, batch["target"], sample_weight=batch.get("sample_weight")
         )

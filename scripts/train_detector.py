@@ -40,7 +40,10 @@ TRAINER = os.environ.get("DPC_DET_TRAINER", "b")
 _SUFFIX = "" if TRAINER == "b" else f"_{TRAINER}"
 CKPT_DIR = os.path.join(REPO, "runs", f"detector_ckpt{_SUFFIX}_{_VAL:06d}")
 EPOCHS = int(os.environ.get("DPC_DET_EPOCHS", "240" if TRAINER == "b" else "120"))
-EVAL_EVERY = 10  # eval is host-bound matching; don't run it every epoch
+EVAL_EVERY = int(os.environ.get("DPC_DET_EVAL_EVERY", "10"))
+# eval is host-bound greedy matching; running it every Nth epoch (final
+# epoch always runs) cuts a 300-epoch fold's eval cost ~N-fold on this
+# 1-core host. Checkpoint selection ticks on evaluated epochs only.
 
 
 def assemble_dataset():
@@ -205,6 +208,7 @@ def main():
         log_path=os.path.join(CKPT_DIR, "log.jsonl"),
         split=(tr_idx, val_idx, np.asarray([], np.int64)),
         eval_threshold=0.35,
+        eval_every=EVAL_EVERY,
     )
 
     # End-to-end demo: raw .bin -> descriptor -> TinyUNet -> peaks,

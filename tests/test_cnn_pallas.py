@@ -121,3 +121,23 @@ def test_batched_consistency(variables):
         np.testing.assert_allclose(
             np.asarray(out[i]), np.asarray(one[0]), atol=1e-6
         )
+
+
+def test_pipeline_pallas_exact_precision(variables):
+    """PipelineConfig.exact() with cnn_impl="pallas" honors
+    matmul_precision (r2 ADVICE medium: it was silently ignored): the
+    pallas backend under exact() must agree with the flax exact() path
+    to f32 parity."""
+    import dataclasses
+
+    from distropointclouds_tpu.core.config import PipelineConfig
+    from distropointclouds_tpu.core.types import PointBatch
+    from distropointclouds_tpu.pipeline import build_pipeline
+
+    cfg = PipelineConfig.exact()
+    pts = fixtures.golden_scan("000840")
+    pb = PointBatch.from_numpy(pts, cfg.scan_context.max_points)
+    a = build_pipeline("tiny_cnn", cfg, postprocess="none")(variables, pb)
+    cfgp = dataclasses.replace(cfg, cnn_impl="pallas")
+    b = build_pipeline("tiny_cnn", cfgp, postprocess="none")(variables, pb)
+    assert float(jnp.max(jnp.abs(a["probs"] - b["probs"]))) < 1e-5

@@ -388,3 +388,90 @@ def test_padded_final_batch_masked(tmp_path):
     }
     loss_real, _ = compute_loss(cfg, logits[:1], dev_real)
     assert float(loss_padded) == pytest.approx(float(loss_real), rel=1e-5)
+
+
+def test_mixed_precision_train_step():
+    """TrainConfig.compute_dtype="bfloat16" is live (r2 VERDICT P3): the
+    model computes in bf16 (forward logits dtype), the loss is reduced
+    in f32 and finite, and params/optimizer state stay f32 after a step
+    — the TPU analog of trainer B's CUDA AMP + GradScaler
+    (train_sc_ped.py:365-386,515; no loss scaling needed in bf16)."""
+    from distropointclouds_tpu.pipeline import MODELS
+    from distropointclouds_tpu.train.loop import (
+        init_state,
+        make_eval_step,
+        make_train_step,
+    )
+
+    cfg = TrainConfig(
+        model="tiny_unet", height=32, width=96, compute_dtype="bfloat16"
+    )
+    model = MODELS[cfg.model](dtype=jnp.dtype(cfg.compute_dtype))
+    state, tx = init_state(
+        model, cfg, jax.random.key(0), jnp.zeros((1, 32, 96, 1))
+    )
+    out, mods = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        jnp.zeros((2, 32, 96, 1)),
+        train=False,
+        mutable=["intermediates"],
+        capture_intermediates=True,
+    )
+    # Internal activations run in bf16 (the head casts logits to f32).
+    enc = mods["intermediates"]["inc"]["__call__"][0]
+    assert enc.dtype == jnp.bfloat16
+    logits = out[0] if isinstance(out, tuple) else out
+    assert logits.dtype == jnp.float32
+    for leaf in jax.tree.leaves(state.params):
+        assert leaf.dtype == jnp.float32
+
+    r = np.random.default_rng(0)
+    batch = {
+        "x": jnp.asarray(r.normal(size=(2, 32, 96, 1)).astype(np.float32)),
+        "target": jnp.asarray(
+            (r.uniform(size=(2, 32, 96, 1)) < 0.05).astype(np.float32)
+        ),
+    }
+    step = jax.jit(make_train_step(model, tx, cfg))
+    new_state, aux = step(state, batch)
+    assert aux["loss"].dtype == jnp.float32
+    assert np.isfinite(float(aux["loss"]))
+    for leaf in jax.tree.leaves(new_state.params):
+        assert leaf.dtype == jnp.float32
+    _, probs = jax.jit(make_eval_step(model, cfg))(new_state, batch)
+    assert probs.dtype == jnp.float32
+    assert np.isfinite(np.asarray(probs)).all()
+
+
+def test_fit_mixed_precision_and_eval_every(tmp_path):
+    """fit() threads compute_dtype into the model it builds (the r2
+    unwired-knob gap) and honors eval_every: with eval_every=2 and 3
+    epochs, epoch 1 logs no val metrics, epochs 2 and 3 (final) do."""
+    from distropointclouds_tpu.train.data import load_scan_context_dir
+    from distropointclouds_tpu.train.fit import fit
+
+    d = make_synthetic_dataset(tmp_path / "mp", n=8, H=32, W=96)
+    data = load_scan_context_dir(d)
+    data.sc = data.sc[:, :32, :96].copy()
+    cfg = TrainConfig(
+        model="tiny_unet",
+        height=32,
+        width=96,
+        batch_size=4,
+        epochs=3,
+        compute_dtype="bfloat16",
+        val_split=0.25,
+        test_split=0.0,
+        ckpt_dir=str(tmp_path / "ckpt_mp"),
+    )
+    log = tmp_path / "log_mp.jsonl"
+    state, _ = fit(data, cfg, log_path=str(log), eval_every=2)
+    recs = [
+        json.loads(l)
+        for l in open(log).read().strip().splitlines()
+        if "epoch" in l
+    ]
+    assert [r["epoch"] for r in recs] == [1, 2, 3]
+    assert "val_loss" not in recs[0]
+    assert "val_loss" in recs[1] and "val_loss" in recs[2]
+    assert all(np.isfinite(r["train_loss"]) for r in recs)
