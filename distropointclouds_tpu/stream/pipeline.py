@@ -79,7 +79,13 @@ class ScanContextStream:
         cfg: StreamConfig = StreamConfig(),
         save: bool = False,
         on_result: Optional[Callable[[str, np.ndarray], None]] = None,
+        impl: Optional[str] = None,
     ):
+        """impl: descriptor implementation override ("bitonic" |
+        "sort_route"); None = auto (bitonic on TPU, sort_route
+        elsewhere — same dispatch as ops.scan_context). The override
+        exists so the TPU branch is testable on the CPU backend (both
+        are bit-identical)."""
         self.cfg = cfg
         self.sc_cfg = cfg.scan_context_config()
         self.save = save
@@ -100,7 +106,10 @@ class ScanContextStream:
             # Same auto dispatch as ops.scan_context: the bitonic VMEM
             # kernel on TPU, the sort+routing path elsewhere (all
             # bit-identical).
-            if jax.default_backend() == "tpu":
+            chosen = impl or (
+                "bitonic" if jax.default_backend() == "tpu" else "sort_route"
+            )
+            if chosen == "bitonic":
                 from ..ops.bitonic import scan_context_bitonic
 
                 return scan_context_bitonic(xyz, valid, sc_cfg)
