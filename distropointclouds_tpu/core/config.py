@@ -110,6 +110,16 @@ class ScanContextConfig:
             voxel_size=0.20,
         )
 
+    @staticmethod
+    def fast() -> "ScanContextConfig":
+        """OPT-IN half-resolution grid (80 x 360, same 20 m range): each
+        coarse cell is the union of a 2x2 block of golden cells, so its
+        max-height equals maxpool2x2 of the golden descriptor exactly
+        (bin edges align: gap_ring 0.25 = 2 * 0.125, gap_sector
+        1.0 = 2 * 0.5). NON-PARITY by construction — for throughput-
+        critical serving; the golden_v2 default is untouched."""
+        return ScanContextConfig(num_ring=80, num_sector=360)
+
 
 @dataclasses.dataclass(frozen=True)
 class DetectorConfig:
@@ -296,8 +306,26 @@ class PipelineConfig:
     # fill the MXU either way; kept as an experimental backend, see
     # docs/PERF.md "Fused Pallas CNN").
     cnn_impl: str = "flax"
+    # Descriptor implementation: "auto" (parity bitonic kernel on TPU,
+    # sort_route elsewhere) or an explicit impl name accepted by
+    # ops.scan_context.scan_context — including the opt-in non-parity
+    # "bitonic_packed" fast backend.
+    descriptor_impl: str = "auto"
 
     @classmethod
     def exact(cls, **kw) -> "PipelineConfig":
         """On-device 1e-4 logit-parity mode (measured 1.4e-6)."""
         return cls(compute_dtype="float32", matmul_precision="float32", **kw)
+
+    @classmethod
+    def fast(cls, **kw) -> "PipelineConfig":
+        """OPT-IN non-parity throughput mode (the sanctioned fast
+        profile, CLAUDE.md): half-resolution 80x360 grid whose cells are
+        exactly maxpool2x2 of the golden grid, the packed single-key
+        bitonic descriptor (z quantized to ~0.5 mm at this grid), and
+        bf16 CNN activations. Accuracy deltas are measured and
+        documented in docs/PERF.md; every parity gate stays on the
+        default profile."""
+        kw.setdefault("scan_context", ScanContextConfig.fast())
+        kw.setdefault("descriptor_impl", "bitonic_packed")
+        return cls(**kw)

@@ -309,3 +309,179 @@ def scan_context_bitonic(
         )
     grid = _finalize(grid.reshape((B,) + cfg.grid_shape), cfg)
     return grid[0] if squeeze else grid
+
+
+# ---------------------------------------------------------------------------
+# Packed single-key fast path (opt-in, non-parity: z is quantized).
+#
+# The sanctioned contract-relaxed backend (CLAUDE.md: "add fast paths as
+# separate opt-in backends"): pack ``cell`` and an order-preserving
+# quantized z into ONE i32 key, ``(cell << zbits) | zq``. Then
+#
+# - the bitonic network sorts a SINGLE array (half the shuffle/select
+#   work per compare-exchange stage of the 2-array sort above), and
+# - because the key orders lexicographically by (cell, z), each cell
+#   run's END already holds the per-cell maximum — the 17-stage
+#   segmented-max pass disappears entirely.
+#
+# Accuracy: z is quantized to ``zbits = 31 - ceil(log2(num_cells + 1))``
+# bits over a clip range (default +-16 m). At the golden 160x720 grid
+# that is 14 bits -> 2^-9 m (~2 mm) resolution; at the fast 80x360 grid
+# 16 bits -> ~0.5 mm. Everything else (binning, edge policies, empty
+# handling) is identical to the parity paths; the parity gates stay on
+# the default backend (tests/test_scan_context.py pins |delta| <= step/2
+# vs the bit-exact sorted path).
+
+
+def _bitonic_sort_packed(key: jnp.ndarray) -> jnp.ndarray:
+    """Single-array bitonic sort ascending of (rows, 128) i32 keys."""
+    rows, lanes = key.shape
+    n = rows * lanes
+    for ks in range(1, int(math.log2(n)) + 1):
+        size = 1 << ks
+        asc = (
+            jnp.zeros((rows, lanes), bool)
+            if size == n
+            else _flat_bit(rows, lanes, size)
+        )
+        for js in range(ks - 1, -1, -1):
+            stride = 1 << js
+            pk = _xor_shuffle(key, stride)
+            is_upper = _flat_bit(rows, lanes, stride)
+            want_max = is_upper ^ asc
+            take = (want_max & (pk > key)) | (~want_max & (pk < key))
+            key = jnp.where(take, pk, key)
+    return key
+
+
+def packed_descriptor_body(
+    packed: jnp.ndarray,
+    num_cells: int,
+    zbits: int,
+    z_min: float,
+    z_step: float,
+) -> jnp.ndarray:
+    """(rows, 128) packed keys -> (rows, 128) flat grid of dequantized
+    per-cell max z (-inf = empty). Pure jnp: runs inside Pallas on TPU
+    and as plain XLA elsewhere."""
+    packed = _bitonic_sort_packed(packed)
+    cell = jax.lax.shift_right_logical(packed, zbits)
+    zq = packed & ((1 << zbits) - 1)
+    z = jnp.float32(z_min) + zq.astype(jnp.float32) * jnp.float32(z_step)
+    # Keys sort lexicographically by (cell, zq), so each run end is the
+    # cell maximum already — route it straight to the dense grid.
+    return _route_to_grid(cell, z, num_cells)
+
+
+def _packed_kernel(packed_ref, out_ref, *, num_cells, zbits, z_min, z_step):
+    out_ref[0] = packed_descriptor_body(
+        packed_ref[0], num_cells, zbits, z_min, z_step
+    )
+
+
+def packed_grid_from_bins(
+    packed: jnp.ndarray,
+    num_cells: int,
+    zbits: int,
+    z_min: float,
+    z_step: float,
+    interpret: bool = False,
+    use_pallas: bool | None = None,
+) -> jnp.ndarray:
+    """[B, N] packed keys -> [B, num_cells] grid values (-inf = empty).
+
+    N must be a power of two and a multiple of 128; invalid/padded points
+    must carry the sentinel key ``num_cells << zbits``.
+    """
+    B, N = packed.shape
+    assert N % 128 == 0 and (N & (N - 1)) == 0, N
+    rows = N // 128
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if not use_pallas and not interpret:
+        out = jax.vmap(
+            lambda p: packed_descriptor_body(p, num_cells, zbits, z_min, z_step)
+        )(packed.reshape(B, rows, 128))
+        return out.reshape(B, N)[:, :num_cells]
+    out = pl.pallas_call(
+        functools.partial(
+            _packed_kernel,
+            num_cells=num_cells,
+            zbits=zbits,
+            z_min=z_min,
+            z_step=z_step,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, rows, 128), jnp.float32),
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, rows, 128), lambda b: (b, 0, 0))],
+        out_specs=pl.BlockSpec((1, rows, 128), lambda b: (b, 0, 0)),
+        interpret=interpret,
+    )(packed.reshape(B, rows, 128))
+    return out.reshape(B, N)[:, :num_cells]
+
+
+def packed_zbits(num_cells: int) -> int:
+    """z payload bits for a grid size: all i32 bits left after the cell
+    id and the sign bit (sentinel num_cells << zbits must stay
+    positive)."""
+    cell_bits = max(1, math.ceil(math.log2(num_cells + 1)))
+    return 31 - cell_bits
+
+
+Z_QUANT_RANGE = (-16.0, 16.0)  # clip range for quantized z (meters)
+
+
+def scan_context_packed(
+    xyz: jax.Array,
+    valid: jax.Array,
+    cfg,
+    z_range=Z_QUANT_RANGE,
+    interpret: bool = False,
+    use_pallas: bool | None = None,
+) -> jax.Array:
+    """Descriptor via the packed single-key bitonic kernel (opt-in fast
+    backend, non-parity: |delta z| <= z_step / 2 vs the exact paths)."""
+    from .scan_context import _finalize, polar_bin_indices
+
+    squeeze = xyz.ndim == 2
+    if squeeze:
+        xyz = xyz[None]
+        valid = valid[None]
+    B, N, _ = xyz.shape
+    num_cells = cfg.num_ring * cfg.num_sector
+    zbits = packed_zbits(num_cells)
+    z_min, z_max = float(z_range[0]), float(z_range[1])
+    z_step = (z_max - z_min) / float((1 << zbits) - 1)
+
+    ring, sector, z, valid = polar_bin_indices(xyz, valid, cfg)
+    cell = ring * cfg.num_sector + sector
+    zq = jnp.clip(
+        jnp.round((z - jnp.float32(z_min)) / jnp.float32(z_step)),
+        0,
+        (1 << zbits) - 1,
+    ).astype(jnp.int32)
+    sentinel = jnp.int32(num_cells << zbits)
+    packed = jnp.where(
+        valid, (cell.astype(jnp.int32) << zbits) | zq, sentinel
+    )
+
+    n2 = 1 << max(int(math.ceil(math.log2(max(N, 128)))), 7)
+    if n2 < num_cells:
+        n2 = 1 << int(math.ceil(math.log2(num_cells)))
+    if n2 > N:
+        packed = jnp.pad(
+            packed, ((0, 0), (0, n2 - N)), constant_values=int(sentinel)
+        )
+
+    flat = packed_grid_from_bins(
+        packed, num_cells, zbits, z_min, z_step,
+        interpret=interpret, use_pallas=use_pallas,
+    )
+    if cfg.use_full_height_range:
+        grid = jnp.where(jnp.isneginf(flat), jnp.float32(0.0), flat)
+    else:
+        grid = jnp.maximum(
+            jnp.where(jnp.isneginf(flat), jnp.float32(0.0), flat), 0.0
+        )
+    grid = _finalize(grid.reshape((B,) + cfg.grid_shape), cfg)
+    return grid[0] if squeeze else grid

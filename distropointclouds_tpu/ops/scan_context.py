@@ -276,7 +276,9 @@ def scan_context(
       impl: "auto" (bitonic Pallas kernel on TPU, sort_route elsewhere),
         "bitonic" (VMEM bitonic kernel, ops/bitonic.py), "sort_route"
         (one sort + log-shift routing), "sort" (two sorts), or
-        "scatter" (XLA baseline). All bit-identical.
+        "scatter" (XLA baseline). All bit-identical. "bitonic_packed"
+        is the OPT-IN fast backend (single-key sort, z quantized to
+        ~2 mm at the golden grid — non-parity; see ops/bitonic.py).
 
     Returns:
       [..., num_ring, num_sector] float32 descriptor grid(s).
@@ -290,14 +292,17 @@ def scan_context(
 
     if impl == "auto":
         impl = "bitonic" if jax.default_backend() == "tpu" else "sort_route"
-    if impl == "bitonic":
+    if impl in ("bitonic", "bitonic_packed"):
         # Natively batched (the Pallas kernel grids over scans).
-        from .bitonic import scan_context_bitonic
+        from .bitonic import scan_context_bitonic, scan_context_packed
 
+        kern = (
+            scan_context_bitonic if impl == "bitonic" else scan_context_packed
+        )
         if xyz.ndim == 2:
-            return scan_context_bitonic(xyz, valid, cfg)
+            return kern(xyz, valid, cfg)
         batch_shape = xyz.shape[:-2]
-        out = scan_context_bitonic(
+        out = kern(
             xyz.reshape((-1,) + xyz.shape[-2:]),
             valid.reshape((-1,) + valid.shape[-1:]),
             cfg,

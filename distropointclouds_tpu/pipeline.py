@@ -104,7 +104,8 @@ def build_pipeline(
         return jax.lax.cond(jnp.any(mask), full, empty, mask)
 
     def fn(variables, points: PointBatch):
-        grid = scan_context(points, cfg.scan_context)  # [B, R, S] or [R, S]
+        # [B, R, S] or [R, S]
+        grid = scan_context(points, cfg.scan_context, impl=cfg.descriptor_impl)
         squeeze = grid.ndim == 2
         if squeeze:
             grid = grid[None]

@@ -361,3 +361,129 @@ def test_stream_bitonic_branch_matches_sort_route(tmp_path, rng):
     a = ScanContextStream(cfg, impl="sort_route").process_one(xyz, "f0")
     b = ScanContextStream(cfg, impl="bitonic").process_one(xyz, "f0")
     np.testing.assert_array_equal(a, b)
+
+
+# ---------------------------------------------------------------------------
+# Opt-in fast backend: packed single-key bitonic (non-parity, quantized z)
+
+
+def test_packed_matches_sorted_within_quantization(rng):
+    """The packed fast backend equals the bit-exact sorted path up to
+    its documented z-quantization step (|delta| <= step/2) under every
+    profile; empty-cell pattern identical."""
+    import dataclasses
+    import math as _math
+
+    from distropointclouds_tpu.ops.bitonic import (
+        Z_QUANT_RANGE,
+        packed_zbits,
+        scan_context_packed,
+    )
+    from distropointclouds_tpu.ops.scan_context import scan_context_sorted
+
+    for name in ("golden_v2", "ros_node", "scaner_v1"):
+        cfg = dataclasses.replace(
+            getattr(ScanContextConfig, name)(),
+            num_ring=32, num_sector=128, max_points=8192,
+        )
+        zbits = packed_zbits(cfg.num_ring * cfg.num_sector)
+        step = (Z_QUANT_RANGE[1] - Z_QUANT_RANGE[0]) / ((1 << zbits) - 1)
+        xyz = rng.uniform(-90, 90, size=(4096, 3)).astype(np.float32)
+        xyz[:, 2] = rng.uniform(-6, 4, size=4096)
+        valid = rng.uniform(size=4096) < 0.8
+        a = np.asarray(
+            scan_context_sorted(jnp.asarray(xyz), jnp.asarray(valid), cfg)
+        )
+        b = np.asarray(
+            scan_context_packed(jnp.asarray(xyz), jnp.asarray(valid), cfg)
+        )
+        np.testing.assert_allclose(
+            b, a, atol=step / 2 + 1e-6, err_msg=name
+        )
+        # empty cells (exact 0 in both) stay exactly 0
+        np.testing.assert_array_equal(b == 0.0, a == 0.0, err_msg=name)
+
+
+def test_packed_golden_full_scale(reference_available):
+    """Packed backend at the golden 160x720 grid on a real scan: within
+    step/2 (~1 mm) of the golden descriptor everywhere except the same
+    boundary-cell allowance as the exact impls."""
+    from distropointclouds_tpu.ops.bitonic import Z_QUANT_RANGE, packed_zbits
+
+    cfg = ScanContextConfig.golden_v2()
+    zbits = packed_zbits(cfg.num_ring * cfg.num_sector)
+    step = (Z_QUANT_RANGE[1] - Z_QUANT_RANGE[0]) / ((1 << zbits) - 1)
+    raw = fixtures.golden_scan("000840")
+    golden = fixtures.golden_descriptor("000840")
+    pb = PointBatch.from_numpy(raw, cfg.max_points)
+    ours = np.asarray(scan_context(pb, cfg, impl="bitonic_packed"))
+    bad = np.abs(ours - golden) > step / 2 + 1e-6
+    assert int(bad.sum()) <= 10
+    for rr, ss in zip(*np.nonzero(bad)):
+        assert mismatch_is_boundary_explainable(ours, golden, rr, ss, cfg)
+
+
+def test_packed_pallas_call_interpret_smoke(rng):
+    """The packed kernel's pallas_call wiring under the interpreter vs
+    the plain-XLA body."""
+    from distropointclouds_tpu.ops.bitonic import packed_grid_from_bins
+
+    B, N, C, zbits = 2, 1024, 300, 16
+    cells = rng.integers(0, C + 1, size=(B, N)).astype(np.int32)
+    zq = rng.integers(0, 1 << zbits, size=(B, N)).astype(np.int32)
+    packed = np.where(cells < C, (cells << zbits) | zq, C << zbits)
+    args = (jnp.asarray(packed), C, zbits, -16.0, 32.0 / ((1 << zbits) - 1))
+    ref = np.asarray(packed_grid_from_bins(*args, use_pallas=False))
+    out = np.asarray(packed_grid_from_bins(*args, interpret=True))
+    # The interpreter rounds the dequantization (z_min + zq * step,
+    # which cancels near z=0) differently from XLA CPU: absolute error
+    # up to ~2 ulp of |z_min| = 2e-6 — far below the backend's
+    # documented step/2 accuracy bound. The sort/route placement itself
+    # must agree exactly (same cells populated).
+    same = np.isclose(out, ref, rtol=0, atol=2e-6) | (
+        np.isneginf(out) & np.isneginf(ref)
+    )
+    assert same.all()
+    np.testing.assert_array_equal(np.isneginf(out), np.isneginf(ref))
+
+
+def test_fast_profile_is_maxpool_of_golden(reference_available):
+    """ScanContextConfig.fast(): the 80x360 grid's bin edges align with
+    the golden grid 2:1, so each coarse cell's max equals maxpool2x2 of
+    the golden descriptor — except where the golden grid's empty-cell
+    zero-fill masks an all-negative coarse max, plus the usual boundary
+    cells."""
+    cfg = ScanContextConfig.fast()
+    raw = fixtures.golden_scan("002160")
+    golden = fixtures.golden_descriptor("002160")
+    pooled = golden.reshape(80, 2, 360, 2).max(axis=(1, 3))
+    pb = PointBatch.from_numpy(raw, cfg.max_points)
+    coarse = np.asarray(scan_context(pb, cfg, impl="sort_route"))
+    diff = pooled != coarse
+    unexplained = 0
+    for rr, ss in zip(*np.nonzero(diff)):
+        # empty-subcell zero-fill: pooled saw a 0 from an empty fine
+        # cell, the true coarse max is negative
+        if pooled[rr, ss] == 0.0 and coarse[rr, ss] < 0.0:
+            continue
+        unexplained += 1
+    assert unexplained <= 10, f"{unexplained} non-zero-fill mismatches"
+
+
+def test_pipeline_fast_profile_end_to_end(reference_available):
+    """PipelineConfig.fast() runs the full pipeline at 80x360 (TinyCNN
+    is fully convolutional) and returns finite probs + detections."""
+    from distropointclouds_tpu.models.torch_import import load_tiny_cnn
+    from distropointclouds_tpu.pipeline import jit_pipeline
+
+    cfg = __import__("distropointclouds_tpu").PipelineConfig.fast()
+    fn = jit_pipeline("tiny_cnn", cfg, "components")
+    variables = load_tiny_cnn()
+    pb = PointBatch.stack(
+        [PointBatch.from_numpy(fixtures.golden_scan("000840"),
+                               cfg.scan_context.max_points)]
+    )
+    out = fn(variables, pb)
+    assert out["probs"].shape == (1, 80, 360)
+    assert np.isfinite(np.asarray(out["probs"])).all()
+    assert out["descriptor"].shape == (1, 80, 360)
