@@ -55,7 +55,7 @@ REFERENCE_CPU_DESCRIPTOR_SCANS_PER_SEC = 85.0  # SURVEY §6, measured
 BATCH = int(os.environ.get("DPC_BENCH_BATCH", "128"))
 WARMUP = 3
 ITERS = int(os.environ.get("DPC_BENCH_ITERS", "20"))
-REGIMES = os.environ.get("DPC_BENCH_REGIMES", "a,b,c,fast").split(",")
+REGIMES = os.environ.get("DPC_BENCH_REGIMES", "a,b,c,fast,fast2").split(",")
 REPO = os.path.dirname(os.path.abspath(__file__))
 
 
@@ -212,16 +212,18 @@ def regime_c(cfg):
     return total / dt, total
 
 
-def regime_fast():
+def regime_fast(stride=1):
     """The opt-in non-parity fast profile, gated on its own documented
-    accuracy contract (80x360 == maxpool2x2 of golden up to the packed
-    quantization step + boundary cells)."""
+    accuracy contract: stride 1 — 80x360 == maxpool2x2 of golden up to
+    the packed quantization step + boundary cells; stride 2 — the
+    measured decimation envelope (<= 0.2% cells emptied, mean |delta|
+    <= 0.1 m; docs/PERF.md)."""
     from distropointclouds_tpu.core.config import PipelineConfig
     from distropointclouds_tpu.io import fixtures
     from distropointclouds_tpu.ops.bitonic import Z_QUANT_RANGE, packed_zbits
-    from distropointclouds_tpu.pipeline import jit_pipeline, shipped_tinycnn_pipeline
+    from distropointclouds_tpu.pipeline import shipped_tinycnn_pipeline
 
-    cfg = PipelineConfig.fast()
+    cfg = PipelineConfig.fast(stride=stride)
     fn, variables = shipped_tinycnn_pipeline(cfg)
     ids, batch = build_batch(cfg, BATCH)
     out = jax.block_until_ready(fn(variables, batch))
@@ -231,11 +233,18 @@ def regime_fast():
         golden = fixtures.golden_descriptor(ids[i])
         pooled = golden.reshape(80, 2, 360, 2).max(axis=(1, 3))
         ours = np.asarray(out["descriptor"][i])
-        bad = np.abs(ours - pooled) > step / 2 + 1e-6
-        # empty-subcell zero-fill mismatches (pooled sees the golden
-        # grid's 0-filled empties) are semantic, not errors
-        bad &= ~((pooled == 0.0) & (ours < 0.0))
-        assert int(bad.sum()) <= 10, f"fast gate broken on {ids[i]}"
+        if stride == 1:
+            bad = np.abs(ours - pooled) > step / 2 + 1e-6
+            # empty-subcell zero-fill mismatches (pooled sees the golden
+            # grid's 0-filled empties) are semantic, not errors
+            bad &= ~((pooled == 0.0) & (ours < 0.0))
+            assert int(bad.sum()) <= 10, f"fast gate broken on {ids[i]}"
+        else:
+            nonempty = pooled != 0
+            emptied = int(((ours == 0.0) & nonempty).sum())
+            assert emptied <= 0.002 * pooled.size, f"stride{stride} emptied"
+            mean_d = float(np.abs(ours - pooled)[nonempty].mean())
+            assert mean_d <= 0.1, f"stride{stride} mean delta {mean_d}"
     return timed_scans_per_sec(fn, variables, batch)
 
 
@@ -266,6 +275,11 @@ def main():
             extra["fast_scans_per_sec"] = round(regime_fast(), 1)
         except Exception as e:
             extra["fast_error"] = str(e)[:200]
+    if "fast2" in REGIMES:
+        try:
+            extra["fast_stride2_scans_per_sec"] = round(regime_fast(2), 1)
+        except Exception as e:
+            extra["fast_stride2_error"] = str(e)[:200]
 
     print(
         json.dumps(

@@ -68,6 +68,12 @@ class ScanContextConfig:
     # padded/truncated to this many points (max observed in the bundled
     # KITTI scans is 125,601; see SURVEY §7 step 1).
     max_points: int = 131072
+    # OPT-IN decimation: bin only every Nth point (1 = all points, the
+    # default for every parity profile). Halving the points halves the
+    # sorting-network size (2^16: 136 stages on half the data) — the
+    # strongest non-parity throughput lever; accuracy cost measured in
+    # docs/PERF.md (max-height cells can only LOWER when points drop).
+    point_stride: int = 1
 
     @property
     def gap_ring(self) -> float:
@@ -111,14 +117,17 @@ class ScanContextConfig:
         )
 
     @staticmethod
-    def fast() -> "ScanContextConfig":
+    def fast(stride: int = 1) -> "ScanContextConfig":
         """OPT-IN half-resolution grid (80 x 360, same 20 m range): each
         coarse cell is the union of a 2x2 block of golden cells, so its
         max-height equals maxpool2x2 of the golden descriptor exactly
         (bin edges align: gap_ring 0.25 = 2 * 0.125, gap_sector
         1.0 = 2 * 0.5). NON-PARITY by construction — for throughput-
-        critical serving; the golden_v2 default is untouched."""
-        return ScanContextConfig(num_ring=80, num_sector=360)
+        critical serving; the golden_v2 default is untouched.
+        ``stride`` > 1 additionally decimates the input points (see
+        point_stride)."""
+        return ScanContextConfig(num_ring=80, num_sector=360,
+                                 point_stride=stride)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -318,7 +327,7 @@ class PipelineConfig:
         return cls(compute_dtype="float32", matmul_precision="float32", **kw)
 
     @classmethod
-    def fast(cls, **kw) -> "PipelineConfig":
+    def fast(cls, stride: int = 1, **kw) -> "PipelineConfig":
         """OPT-IN non-parity throughput mode (the sanctioned fast
         profile, CLAUDE.md): half-resolution 80x360 grid whose cells are
         exactly maxpool2x2 of the golden grid, the packed single-key
@@ -326,6 +335,6 @@ class PipelineConfig:
         bf16 CNN activations. Accuracy deltas are measured and
         documented in docs/PERF.md; every parity gate stays on the
         default profile."""
-        kw.setdefault("scan_context", ScanContextConfig.fast())
+        kw.setdefault("scan_context", ScanContextConfig.fast(stride))
         kw.setdefault("descriptor_impl", "bitonic_packed")
         return cls(**kw)

@@ -290,6 +290,12 @@ def scan_context(
         xyz = jnp.asarray(points)[..., :3]
         valid = jnp.ones(xyz.shape[:-1], dtype=bool)
 
+    if cfg.point_stride > 1:
+        # Opt-in decimation (non-parity; see ScanContextConfig) —
+        # applied uniformly so every impl sees the same points.
+        xyz = xyz[..., :: cfg.point_stride, :]
+        valid = valid[..., :: cfg.point_stride]
+
     if impl == "auto":
         impl = "bitonic" if jax.default_backend() == "tpu" else "sort_route"
     if impl in ("bitonic", "bitonic_packed"):
