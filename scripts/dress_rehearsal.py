@@ -1,0 +1,90 @@
+"""KITTI-scale dress rehearsal of the production data path (r2 VERDICT
+#6: build-dataset, the label factory, and the trainers had only ever
+run on 4 real scans; the "~126 samples/s => 30-min KITTI epoch" claim
+was extrapolated).
+
+Pipeline, at a few-hundred-scan scale:
+  1. scripts/synth_kitti.py            -> raw .bin + labels + calib
+  2. cli build-dataset                 -> sc_*.npy + pedestrians_*.json
+     (the real dual-source label factory, duplicates and all)
+  3. cli train --trainer b (TinyUNet)  -> per-epoch time_s in log.jsonl
+
+Run on the TPU under timeout (CLAUDE.md stall discipline):
+  timeout 3000 python scripts/dress_rehearsal.py
+Environment knobs: DPC_DR_NUM (scans, default 300), DPC_DR_EPOCHS (8).
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+NUM = int(os.environ.get("DPC_DR_NUM", "300"))
+EPOCHS = int(os.environ.get("DPC_DR_EPOCHS", "8"))
+OUT = os.path.join(REPO, "runs", "dress_rehearsal")
+KITTI = os.path.join(OUT, "kitti")
+
+
+def run(cmd, env=None, timeout=2400):
+    print("+", " ".join(cmd), flush=True)
+    e = dict(os.environ)
+    if env:
+        e.update(env)
+    t0 = time.time()
+    subprocess.run(cmd, check=True, env=e, cwd=REPO, timeout=timeout)
+    dt = time.time() - t0
+    print(f"  [{dt:.1f}s]", flush=True)
+    return dt
+
+
+def main():
+    os.makedirs(OUT, exist_ok=True)
+    stats = {"num_scans": NUM, "epochs": EPOCHS}
+
+    stats["synth_s"] = run(
+        [sys.executable, "scripts/synth_kitti.py", "--num", str(NUM),
+         "--out", KITTI]
+    )
+
+    # build-dataset on CPU: per-scan dispatch over the TPU tunnel pays
+    # ~30 ms RTT each; the host sort_route path is the right tool for a
+    # batch job on this box and exercises the same code.
+    t = run(
+        [sys.executable, "-m", "distropointclouds_tpu.cli.main",
+         "build-dataset", "--kitti_root", KITTI, "--mode", "train"],
+        env={"JAX_PLATFORMS": "cpu"},
+    )
+    stats["build_dataset_s"] = t
+    stats["build_dataset_scans_per_s"] = round((NUM * 0.9) / t, 2)
+
+    sc_dir = os.path.join(KITTI, "training", "scan_context")
+    ckpt = os.path.join(OUT, "ckpt")
+    stats["train_s"] = run(
+        [sys.executable, "-m", "distropointclouds_tpu.cli.main", "train",
+         "--sc_dir", sc_dir, "--trainer", "b", "--epochs", str(EPOCHS),
+         "--ckpt_dir", ckpt, "--log", os.path.join(OUT, "log.jsonl")],
+        timeout=3000,
+    )
+
+    recs = [
+        json.loads(l)
+        for l in open(os.path.join(OUT, "log.jsonl"))
+        if '"epoch"' in l
+    ]
+    times = [r["time_s"] for r in recs]
+    n_train = int((NUM * 0.9) * (1 - 0.15 - 0.10))  # trainer-b splits
+    stats["epoch_time_s"] = times
+    stats["median_epoch_s"] = sorted(times)[len(times) // 2]
+    stats["samples_per_s"] = round(n_train / stats["median_epoch_s"], 1)
+    stats["val_f1_last"] = recs[-1].get("val_f1")
+    with open(os.path.join(OUT, "stats.json"), "w") as f:
+        json.dump(stats, f, indent=2)
+    print(json.dumps(stats))
+
+
+if __name__ == "__main__":
+    main()
