@@ -200,6 +200,13 @@ def main():
             epochs=EPOCHS,
             batch_size=16,
             early_stop_patience=0,   # tiny val set; keep training
+            # Calibration knob (r2 VERDICT weak #4): the reference's
+            # alpha=0.25 under-weights the ~0.1%-positive masks so far
+            # that probabilities stay below the banded thresholds even
+            # on training scans (measured max prob 0.29 after 120
+            # epochs). alpha=0.75 (trainer B's value) restores usable
+            # amplitude; override via DPC_DET_FOCAL_ALPHA.
+            focal_alpha=float(os.environ.get("DPC_DET_FOCAL_ALPHA", "0.75")),
             ckpt_dir=CKPT_DIR,
         )
     state, final = fit(
