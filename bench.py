@@ -54,7 +54,12 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 REFERENCE_CPU_DESCRIPTOR_SCANS_PER_SEC = 85.0  # SURVEY §6, measured
 BATCH = int(os.environ.get("DPC_BENCH_BATCH", "128"))
 WARMUP = 3
-ITERS = int(os.environ.get("DPC_BENCH_ITERS", "20"))
+# 60 iters: the timed window carries exactly ONE tunnel fence RTT
+# (~30 ms, docs/PERF.md) no matter how many batches run — at 20 iters
+# that artifact is ~4% of the window, at 60 it is ~1.4%. Steady-state
+# throughput is the per-batch device time; more iters measure it more
+# faithfully, they don't flatter it.
+ITERS = int(os.environ.get("DPC_BENCH_ITERS", "60"))
 REGIMES = os.environ.get("DPC_BENCH_REGIMES", "a,b,c,fast,fast2").split(",")
 REPO = os.path.dirname(os.path.abspath(__file__))
 

@@ -192,6 +192,13 @@ def main():
             epochs=EPOCHS,
             batch_size=16,
             heat_sigma=2.5,
+            # Amplitude calibration (r2 VERDICT weak #4): fold 002160's
+            # original run never crossed the reference eval threshold
+            # 0.35 on its own TRAINING scans (runs/threshold_sweep.json:
+            # 0 preds at 0.35/0.25). alpha up-weights the positive
+            # heatmap cells; the reference's own trainer B uses 0.75 —
+            # raise via DPC_DET_FOCAL_ALPHA when a fold under-shoots.
+            focal_alpha=float(os.environ.get("DPC_DET_FOCAL_ALPHA", "0.75")),
             ckpt_dir=CKPT_DIR,
         )
     else:
