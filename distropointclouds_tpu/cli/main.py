@@ -137,6 +137,8 @@ def cmd_train(args) -> int:
         v = getattr(args, field)
         if v is not None:
             overrides[field] = v
+    if args.device_cache:
+        overrides["device_cache"] = True
     cfg = dataclasses.replace(base, **overrides)
     data = load_scan_context_dir(
         args.sc_dir, require_json=args.trainer == "c"
@@ -145,7 +147,7 @@ def cmd_train(args) -> int:
     state, final = fit(
         data, cfg, log_path=args.log or os.path.join(cfg.ckpt_dir, "log.jsonl"),
         resume=args.resume, eval_only=args.eval_only,
-        vis_dir=args.vis_dir,
+        vis_dir=args.vis_dir, eval_every=args.eval_every,
     )
     print("done:", final)
     return 0
@@ -416,6 +418,13 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--resume", action="store_true")
     t.add_argument("--vis_dir", default=None,
                    help="save per-epoch validation overlays here (runs/val_images)")
+    t.add_argument("--device_cache", action="store_true",
+                   help="keep the whole dataset resident in device HBM "
+                        "and gather batches on-device (0.44 MB/sample; "
+                        "kills the per-epoch H2D re-upload)")
+    t.add_argument("--eval_every", type=int, default=1,
+                   help="run the (host-bound) validation pass every N "
+                        "epochs; the final epoch always evaluates")
     t.add_argument("--eval_only", action="store_true",
                    help="reload best checkpoint and evaluate (train_sc_ped --eval_only)")
     t.set_defaults(fn=cmd_train)

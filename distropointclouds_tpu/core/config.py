@@ -232,6 +232,12 @@ class TrainConfig:
     early_stop_patience: int = 0   # trainer C: 10
     # Precision: params/accum always f32; compute dtype for the model
     compute_dtype: str = "float32"  # or "bfloat16"
+    # Keep the materialized dataset resident in HBM and gather batches
+    # on-device (ScanContextArrays.to_device): an epoch then ships only
+    # index arrays instead of re-uploading every sample (~0.44 MB each).
+    # Single-device fit() only (ignored under a mesh, where batches are
+    # placed per-shard); costs 0.44 MB HBM per sample.
+    device_cache: bool = False
     # Duplicate-pedestrian behavior (SURVEY §2.3 quirk register #2)
     dedupe_pedestrians: bool = False
     ckpt_dir: str = "checkpoints"

@@ -68,6 +68,11 @@ def fit(
         model = MODELS[cfg.model](dtype=jnp.dtype(cfg.compute_dtype))
 
     n = len(data)
+    if cfg.device_cache and mesh is None:
+        # Device-resident dataset: epochs gather batches in HBM and ship
+        # only index arrays (kills the per-epoch H2D re-upload; measured
+        # in docs/PERF.md "KITTI-scale dress rehearsal").
+        data = data.to_device()
     if split is not None:
         # Explicit index split (e.g. hold out specific golden scans).
         tr_idx, va_idx, te_idx = (np.asarray(s, np.int64) for s in split)

@@ -475,3 +475,41 @@ def test_fit_mixed_precision_and_eval_every(tmp_path):
     assert "val_loss" not in recs[0]
     assert "val_loss" in recs[1] and "val_loss" in recs[2]
     assert all(np.isfinite(r["train_loss"]) for r in recs)
+
+
+def test_fit_device_cache_matches_host_path(tmp_path):
+    """TrainConfig.device_cache keeps the dataset in device memory and
+    gathers batches on-device (data.py _gather_batch). Same seeds =>
+    identical batch contents and rng streams, so per-epoch train losses
+    must match the host-streamed path to float tolerance."""
+    from distropointclouds_tpu.train.data import load_scan_context_dir
+    from distropointclouds_tpu.train.fit import fit
+
+    d = make_synthetic_dataset(tmp_path / "data", n=10, H=32, W=96)
+    data = load_scan_context_dir(d)
+    data.sc = data.sc[:, :32, :96].copy()
+    base = dict(
+        model="tiny_unet",
+        height=32,
+        width=96,
+        batch_size=4,
+        epochs=2,
+        val_split=0.2,
+        test_split=0.0,
+    )
+    losses = {}
+    for cache in (False, True):
+        cfg = TrainConfig(
+            **base,
+            device_cache=cache,
+            ckpt_dir=str(tmp_path / f"ckpt_{cache}"),
+        )
+        log = tmp_path / f"log_{cache}.jsonl"
+        fit(data, cfg, log_path=str(log))
+        losses[cache] = [
+            json.loads(l)["train_loss"]
+            for l in open(log).read().strip().splitlines()
+            if '"epoch"' in l
+        ]
+    assert len(losses[True]) == 2
+    np.testing.assert_allclose(losses[True], losses[False], rtol=1e-5)
