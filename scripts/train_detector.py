@@ -199,6 +199,9 @@ def main():
             # heatmap cells; the reference's own trainer B uses 0.75 —
             # raise via DPC_DET_FOCAL_ALPHA when a fold under-shoots.
             focal_alpha=float(os.environ.get("DPC_DET_FOCAL_ALPHA", "0.75")),
+            # The synth pool is <=340 MB: keep it in HBM, gather batches
+            # on-device (epochs here are H2D-bound on the tunneled host).
+            device_cache=True,
             ckpt_dir=CKPT_DIR,
         )
     else:
@@ -214,6 +217,7 @@ def main():
             # epochs). alpha=0.75 (trainer B's value) restores usable
             # amplitude; override via DPC_DET_FOCAL_ALPHA.
             focal_alpha=float(os.environ.get("DPC_DET_FOCAL_ALPHA", "0.75")),
+            device_cache=True,
             ckpt_dir=CKPT_DIR,
         )
     state, final = fit(
