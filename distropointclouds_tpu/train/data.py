@@ -36,6 +36,10 @@ from ..labels.heatmap import adaptive_weight_map, center_heatmap
 from ..models.layers import normalize_clip, normalize_minmax
 
 PED_CAPACITY = 32
+# Padded per-pedestrian covered_cells capacity: the golden JSONs top out
+# at 120 cells/ped (closest pedestrians); 192 leaves headroom for
+# synthetic inward radial jitter.
+CELL_CAPACITY = 192
 
 
 @dataclass
@@ -49,6 +53,13 @@ class ScanContextArrays:
     num_cells: np.ndarray  # (N, P) i32 len(covered_cells)
     ped_valid: np.ndarray  # (N, P) bool
     ids: List[int]
+    # (N, P, C, 2) i16 [ring, sector] rows straight from the JSONs —
+    # the reference's own source of truth for training masks
+    # (tiny_sc_ped.py:62-73 builds masks from covered_cells, not from
+    # box geometry). Mask targets use these when present; synthetic
+    # augmented samples NEED them (their box fields keep the donor
+    # pose, so box-derived masks would not match the pasted pixels).
+    cells: Optional[np.ndarray] = None
 
     def __len__(self) -> int:
         return self.sc.shape[0]
@@ -71,6 +82,7 @@ class ScanContextArrays:
             num_cells=jnp.asarray(self.num_cells),
             ped_valid=jnp.asarray(self.ped_valid),
             ids=self.ids,
+            cells=None if self.cells is None else jnp.asarray(self.cells),
         )
 
 
@@ -93,6 +105,7 @@ def load_scan_context_dir(
     distance = []
     num_cells = []
     valid = []
+    cells = []
     for p in paths:
         stem = os.path.basename(p)[3:-4]
         jp = os.path.join(os.path.dirname(p), f"pedestrians_{stem}.json")
@@ -109,17 +122,23 @@ def load_scan_context_dir(
         d = np.zeros((capacity,), np.float32)
         n = np.zeros((capacity,), np.int32)
         v = np.zeros((capacity,), bool)
+        cl = np.full((capacity, CELL_CAPACITY, 2), -1, np.int16)
         for i, ped in enumerate(peds[:capacity]):
             c[i] = (ped["center_ring_idx"], ped["center_sector_idx"])
             b[i] = (ped["x"], ped["y"], ped["l"], ped["w"], ped["yaw"])
             d[i] = ped.get("distance", np.hypot(ped["x"], ped["y"]))
+            pc = np.asarray(
+                ped.get("covered_cells", []), np.int64
+            ).reshape(-1, 2)[:CELL_CAPACITY]
             n[i] = len(ped.get("covered_cells", []))
+            cl[i, : len(pc)] = pc.astype(np.int16)
             v[i] = True
         centers.append(c)
         boxes.append(b)
         distance.append(d)
         num_cells.append(n)
         valid.append(v)
+        cells.append(cl)
     return ScanContextArrays(
         sc=np.stack(scs),
         centers=np.stack(centers),
@@ -128,6 +147,7 @@ def load_scan_context_dir(
         num_cells=np.stack(num_cells),
         ped_valid=np.stack(valid),
         ids=ids,
+        cells=np.stack(cells),
     )
 
 
@@ -186,12 +206,22 @@ def build_targets(
     out: Dict[str, jnp.ndarray] = {}
 
     def masks_for(i=None):
-        bx = batch["boxes"]
-        m = jax.vmap(
-            lambda bb: covered_cells_mask(
-                bb[:, 0], bb[:, 1], bb[:, 2], bb[:, 3], bb[:, 4], sc_cfg
-            )
-        )(bx)  # (B, P, R, S)
+        if batch.get("cells") is not None:
+            # Reference-faithful path: scatter the JSON covered_cells
+            # rows (tiny_sc_ped.py:62-73 semantics). Required for
+            # synthetic samples, whose box fields keep the donor pose.
+            m = jax.vmap(
+                lambda cc, nn: _ped_masks_from_cells(
+                    cc, nn, sc_cfg.num_ring, sc_cfg.num_sector
+                )
+            )(batch["cells"], batch["num_cells"])  # (B, P, R, S)
+        else:
+            bx = batch["boxes"]
+            m = jax.vmap(
+                lambda bb: covered_cells_mask(
+                    bb[:, 0], bb[:, 1], bb[:, 2], bb[:, 3], bb[:, 4], sc_cfg
+                )
+            )(bx)  # (B, P, R, S)
         m = jnp.where(batch["ped_valid"][..., None, None], m, False)
         return m
 
@@ -242,6 +272,25 @@ def build_targets(
     return out
 
 
+def _ped_masks_from_cells(cells, num_cells, num_ring, num_sector):
+    """(P, C, 2) padded [ring, sector] rows -> (P, R, S) bool masks.
+
+    Padding rows (and any cell outside the training grid) scatter with
+    ``mode="drop"``; counts beyond the padded capacity were truncated
+    at load time, so ``j < num_cells`` is the right validity test."""
+    P, C, _ = cells.shape
+    cc = cells.astype(jnp.int32)
+    validc = jnp.arange(C)[None, :] < num_cells[:, None]  # (P, C)
+    rr = jnp.where(validc, cc[..., 0], num_ring)
+    ss = jnp.where(validc, cc[..., 1], num_sector)
+    pidx = jnp.broadcast_to(jnp.arange(P)[:, None], (P, C))
+    return (
+        jnp.zeros((P, num_ring, num_sector), bool)
+        .at[pidx, rr, ss]
+        .set(True, mode="drop")
+    )
+
+
 def epoch_batches(
     data: ScanContextArrays,
     indices: np.ndarray,
@@ -273,6 +322,11 @@ def epoch_batches(
                 data.sc, data.centers, data.boxes, data.distance,
                 data.num_cells, data.ped_valid, jnp.asarray(sel, jnp.int32),
             )
+            if data.cells is not None:
+                gathered = dict(gathered)
+                gathered["cells"] = _gather_cells(
+                    data.cells, jnp.asarray(sel, jnp.int32)
+                )
         else:
             gathered = {
                 "sc": data.sc[sel],
@@ -282,11 +336,18 @@ def epoch_batches(
                 "num_cells": data.num_cells[sel],
                 "ped_valid": data.ped_valid[sel],
             }
+            if data.cells is not None:
+                gathered["cells"] = data.cells[sel]
         yield {
             "sample_weight": weight,
             **gathered,
             "n_real": np.asarray(n_real, np.int32),
         }
+
+
+@jax.jit
+def _gather_cells(cells, sel):
+    return cells[sel]
 
 
 @jax.jit

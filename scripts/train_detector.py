@@ -95,6 +95,7 @@ def augment_dataset(exclude: str = "002160"):
         s: _json.load(open(os.path.join(DATA_DIR, f"pedestrians_{s}.json")))
         for s in train_ids
     }
+    peds_by_scan["999999"] = []
     # Unique pedestrian patches (drop the reference's duplicate entries
     # by center cell).
     patches = []
@@ -129,7 +130,24 @@ def augment_dataset(exclude: str = "002160"):
         # random global sector roll of the background
         roll = int(rng.integers(720))
         sc = np.roll(sc, roll, axis=1)
+        # The background's own real pedestrians ride along under the
+        # roll and MUST stay labeled: omitting them (the r2 bug) fed
+        # every real train-scan pedestrian to the loss as a hard
+        # negative in ~N_SYNTH/len(backgrounds) rolled copies, which
+        # actively suppressed the train scans' true peaks (measured:
+        # fold-002160 maxprob 0.14-0.22 on its own training scans vs
+        # 0.97 on the never-suppressed held-out scan).
         out_peds = []
+        for ped in peds_by_scan[bg_id]:
+            cells = np.asarray(ped["covered_cells"], np.int64).reshape(-1, 2)
+            rolled = {
+                **ped,
+                "center_sector_idx": int(
+                    (ped["center_sector_idx"] + roll) % 720),
+                "covered_cells": np.stack(
+                    [cells[:, 0], (cells[:, 1] + roll) % 720], 1).tolist(),
+            }
+            out_peds.append(rolled)
         for _ in range(int(rng.integers(1, 7))):
             p = patches[rng.integers(len(patches))]
             cr, cs = p["center"]
