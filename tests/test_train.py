@@ -513,3 +513,53 @@ def test_fit_device_cache_matches_host_path(tmp_path):
         ]
     assert len(losses[True]) == 2
     np.testing.assert_allclose(losses[True], losses[False], rtol=1e-5)
+
+
+def test_mask_targets_from_json_cells_match_box_masks():
+    """Mask targets now scatter the JSON covered_cells rows directly
+    (the reference's own source of truth, tiny_sc_ped.py:62-73); the
+    box-pose derivation stays as the fallback for batches without
+    cells. Both must agree bit-exactly on every golden scan — and the
+    cells path must win when the two disagree (synthetic augmented
+    samples keep the donor box pose, scripts/train_detector.py)."""
+    from distropointclouds_tpu.io import fixtures
+    from distropointclouds_tpu.labels.covered_cells import covered_cells_mask
+    from distropointclouds_tpu.train.data import (
+        _ped_masks_from_cells,
+        load_scan_context_dir,
+    )
+
+    data = load_scan_context_dir(fixtures.test_data_dir())
+    assert data.cells is not None and data.cells.shape[-1] == 2
+    cfg = ScanContextConfig()
+    for i in range(len(data)):
+        m_cells = np.asarray(
+            _ped_masks_from_cells(
+                jnp.asarray(data.cells[i]), jnp.asarray(data.num_cells[i]),
+                cfg.num_ring, cfg.num_sector,
+            )
+        )
+        bx = data.boxes[i]
+        m_box = np.asarray(
+            covered_cells_mask(bx[:, 0], bx[:, 1], bx[:, 2], bx[:, 3],
+                               bx[:, 4], cfg)
+        )
+        v = data.ped_valid[i][:, None, None]
+        np.testing.assert_array_equal(m_cells & v, m_box & v)
+
+    # build_targets prefers cells: a batch whose boxes are zeroed but
+    # whose cells are real must still produce the real mask.
+    from distropointclouds_tpu.train.data import build_targets
+
+    b = {
+        "sc": jnp.asarray(data.sc[:1]),
+        "centers": jnp.asarray(data.centers[:1]),
+        "boxes": jnp.zeros_like(jnp.asarray(data.boxes[:1])),
+        "distance": jnp.asarray(data.distance[:1]),
+        "num_cells": jnp.asarray(data.num_cells[:1]),
+        "ped_valid": jnp.asarray(data.ped_valid[:1]),
+        "cells": jnp.asarray(data.cells[:1]),
+    }
+    cfgc = TrainConfig(**{**TrainConfig.trainer_c().__dict__, "roll_aug": False})
+    out = build_targets(b, cfgc)
+    assert np.asarray(out["target"]).sum() > 0
