@@ -35,8 +35,8 @@ ITERS = int(os.environ.get("DPC_BENCH_ITERS", "40"))
 
 def measure(compute_dtype: str) -> float:
     from distropointclouds_tpu.core.config import TrainConfig
+    from distropointclouds_tpu.pipeline import MODELS
     from distropointclouds_tpu.train.data import build_targets
-    from distropointclouds_tpu.train.fit import MODELS
     from distropointclouds_tpu.train.loop import init_state, make_train_step
 
     cfg = dataclasses.replace(
@@ -65,13 +65,17 @@ def measure(compute_dtype: str) -> float:
 
     cur, aux = step(state, targets)  # compile
     jax.block_until_ready(aux)
+    float(jax.tree.leaves(aux)[0])
+    # Fence every 5 steps: one tunnel RTT per 5 (amortized ~6 ms/step)
+    # while keeping the dependent chain short — this backend executes
+    # LONG unfenced dependent train-step chains pathologically in f32
+    # (measured 14.5 s/step for a 40-deep chain vs 127 ms/step fenced;
+    # bf16 chains are unaffected).
     t0 = time.perf_counter()
-    auxes = []
-    for _ in range(ITERS):
+    for i in range(ITERS):
         cur, aux = step(cur, targets)
-        auxes.append(aux)
-    # fence the LAST loss only (in-order stream, docs/PERF.md)
-    final = float(jax.tree.leaves(auxes[-1])[0])
+        if (i + 1) % 5 == 0:
+            final = float(jax.tree.leaves(aux)[0])
     dt = time.perf_counter() - t0
     assert np.isfinite(final), final
     return dt / ITERS * 1e3  # ms/step
