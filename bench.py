@@ -14,6 +14,12 @@ recorded artifact carry more than the most favorable number):
      shipped checkpoint. That checkpoint never detects (SURVEY §6), so
      the components stage takes the batch-level empty fast path; this
      is the realistic streaming regime where most scans are empty.
+     Measured as STEADY-STATE device throughput (the pipeline iterated
+     inside one program via lax.scan, LICM-defeated and hoist-guarded);
+     ``dispatch_loop_scans_per_sec`` records the r2-style
+     one-dispatch-per-batch loop, whose ~1 ms/dispatch tunnel cost
+     (~8 us/scan, scripts/bench_dispatch_probe.py) a local-PCIe host
+     would not pay.
   b. ``detecting_scans_per_sec`` — the same parity pipeline driven by a
      trained TinyUNet checkpoint (runs/detector_ckpt_002073) whose
      masks are non-empty, so the full connected-components + stats path
@@ -103,10 +109,49 @@ def build_batch(cfg, batch_size):
     return ids, jax.device_put(batch)
 
 
+def steady_state_scans_per_sec(inner, variables, batch, iters=ITERS, reps=3):
+    """Steady-state device throughput: the pipeline body iterated
+    ``iters`` times INSIDE one program (lax.scan), so the window carries
+    zero per-dispatch cost. The dispatch loop above pays ~1 ms of
+    tunnel dispatch per program (~8 us/scan at B=128 — measured by
+    scripts/bench_dispatch_probe.py; a local-PCIe host pays <0.1 ms).
+    The body's `count` input is perturbed by a carry-dependent zero so
+    XLA's while-loop LICM cannot hoist the (otherwise loop-invariant)
+    pipeline out of the loop; the caller must still sanity-check the
+    result against the dispatch loop (a hoisted body shows up ~iters x
+    faster)."""
+    from distropointclouds_tpu.core.types import PointBatch
+
+    @jax.jit
+    def scan_fn(variables, batch):
+        def body(acc, _):
+            eps = (acc * jnp.float32(0.0)).astype(jnp.int32)
+            pts = PointBatch(xyzi=batch.xyzi, count=batch.count + eps)
+            out = inner(variables, pts)
+            return acc + jnp.sum(out["probs"][:, 0, 0]), None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
+        return acc
+
+    assert np.isfinite(float(scan_fn(variables, batch)))  # compile+warm
+    t0 = time.perf_counter()
+    accs = [scan_fn(variables, batch) for _ in range(reps)]
+    assert np.isfinite(float(accs[-1]))  # fence the last program only
+    dt = time.perf_counter() - t0
+    return int(batch.xyzi.shape[0]) * iters * reps / dt
+
+
 def regime_a(cfg):
-    """Headline: shipped checkpoint, parity gate, empty-mask regime."""
+    """Headline: shipped checkpoint, parity gate, empty-mask regime.
+
+    Returns (steady_state_sps, dispatch_loop_sps): the headline is the
+    steady-state number (device throughput of a continuously-fed chip,
+    the quantity the north star is about); the dispatch-loop number —
+    the r2 recording regime — rides along as an extra key so the
+    tunnel's per-dispatch cost stays on record. A hoist guard falls
+    back to the dispatch-loop number if the steady-state measurement
+    is implausible (>1.25x the loop: XLA managed to hoist the body)."""
     from distropointclouds_tpu.io import fixtures
-    from distropointclouds_tpu.pipeline import shipped_tinycnn_pipeline
 
     stage = os.environ.get("DPC_BENCH_STAGE", "full")
     if stage != "full":
@@ -132,8 +177,14 @@ def regime_a(cfg):
             variables = load_tiny_cnn()
         else:
             raise SystemExit(f"unknown DPC_BENCH_STAGE {stage!r}")
+        inner = None
     else:
-        fn, variables = shipped_tinycnn_pipeline(cfg)
+        from distropointclouds_tpu.models.torch_import import load_tiny_cnn
+        from distropointclouds_tpu.pipeline import build_pipeline
+
+        inner = build_pipeline("tiny_cnn", cfg, "components")
+        fn = jax.jit(inner)
+        variables = load_tiny_cnn()
 
     ids, batch = build_batch(cfg, BATCH)
     # Parity gate before timing.
@@ -143,7 +194,13 @@ def regime_a(cfg):
         bad = int((np.asarray(out["descriptor"][i]) != golden).sum())
         assert bad <= 10, f"descriptor parity broken on {ids[i]}: {bad} cells"
         assert float(out["probs"][i].max()) < 0.08  # shipped-ckpt logits sane
-    return timed_scans_per_sec(fn, variables, batch)
+    loop_sps = timed_scans_per_sec(fn, variables, batch)
+    if inner is None:
+        return loop_sps, loop_sps
+    steady = steady_state_scans_per_sec(inner, variables, batch)
+    if steady > 1.25 * loop_sps:  # hoist guard (see docstring)
+        return loop_sps, loop_sps
+    return steady, loop_sps
 
 
 def regime_b(cfg_base):
@@ -225,11 +282,14 @@ def regime_fast(stride=1):
     <= 0.1 m; docs/PERF.md)."""
     from distropointclouds_tpu.core.config import PipelineConfig
     from distropointclouds_tpu.io import fixtures
+    from distropointclouds_tpu.models.torch_import import load_tiny_cnn
     from distropointclouds_tpu.ops.bitonic import Z_QUANT_RANGE, packed_zbits
-    from distropointclouds_tpu.pipeline import shipped_tinycnn_pipeline
+    from distropointclouds_tpu.pipeline import build_pipeline
 
     cfg = PipelineConfig.fast(stride=stride)
-    fn, variables = shipped_tinycnn_pipeline(cfg)
+    inner = build_pipeline("tiny_cnn", cfg, "components")
+    fn = jax.jit(inner)
+    variables = load_tiny_cnn()
     ids, batch = build_batch(cfg, BATCH)
     out = jax.block_until_ready(fn(variables, batch))
     zbits = packed_zbits(cfg.scan_context.num_ring * cfg.scan_context.num_sector)
@@ -250,7 +310,9 @@ def regime_fast(stride=1):
             assert emptied <= 0.002 * pooled.size, f"stride{stride} emptied"
             mean_d = float(np.abs(ours - pooled)[nonempty].mean())
             assert mean_d <= 0.1, f"stride{stride} mean delta {mean_d}"
-    return timed_scans_per_sec(fn, variables, batch)
+    loop_sps = timed_scans_per_sec(fn, variables, batch)
+    steady = steady_state_scans_per_sec(inner, variables, batch)
+    return loop_sps if steady > 1.25 * loop_sps else steady
 
 
 def main():
@@ -259,7 +321,8 @@ def main():
     cfg = PipelineConfig()
     extra = {}
 
-    value = regime_a(cfg)
+    value, loop_sps = regime_a(cfg)
+    extra["dispatch_loop_scans_per_sec"] = round(loop_sps, 1)
 
     if "b" in REGIMES:
         try:
@@ -289,7 +352,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "scans/sec/chip end-to-end (decode->SC->TinyCNN->detect), descriptor parity vs sc_*.npy verified; extra keys bracket detecting/serving/fast regimes",
+                "metric": "scans/sec/chip end-to-end (decode->SC->TinyCNN->detect), steady-state device throughput, descriptor parity vs sc_*.npy verified; extra keys bracket dispatch-loop/detecting/serving/fast regimes",
                 "value": round(value, 1),
                 "unit": "scans/sec/chip",
                 "vs_baseline": round(

@@ -90,7 +90,13 @@ def main():
     @jax.jit
     def scan_fn(variables, batch):
         def body(acc, _):
-            out = inner(variables, batch)
+            # Carry-dependent zero: acc * 0.0 is NOT folded for floats
+            # (NaN semantics), so `count` depends on the previous
+            # iteration and XLA's while-loop LICM cannot hoist the
+            # pipeline body. Numerically a no-op (acc stays finite).
+            eps = (acc * jnp.float32(0.0)).astype(jnp.int32)
+            pts = PointBatch(xyzi=batch.xyzi, count=batch.count + eps)
+            out = inner(variables, pts)
             return acc + jnp.sum(out["probs"][:, 0, 0]), None
 
         acc, _ = jax.lax.scan(
