@@ -115,18 +115,24 @@ def steady_state_scans_per_sec(inner, variables, batch, iters=ITERS, reps=3):
     zero per-dispatch cost. The dispatch loop above pays ~1 ms of
     tunnel dispatch per program (~8 us/scan at B=128 — measured by
     scripts/bench_dispatch_probe.py; a local-PCIe host pays <0.1 ms).
-    The body's `count` input is perturbed by a carry-dependent zero so
-    XLA's while-loop LICM cannot hoist the (otherwise loop-invariant)
-    pipeline out of the loop; the caller must still sanity-check the
-    result against the dispatch loop (a hoisted body shows up ~iters x
-    faster)."""
+    BOTH body inputs (`xyzi` and `count`) are perturbed by a
+    carry-dependent zero (``acc * 0.0`` — not folded for floats), so no
+    part of the pipeline is loop-invariant and XLA's while-loop LICM
+    can hoist nothing — perturbing only `count` would leave the
+    xyz-pure polar/binning math hoistable. The xyzi add fuses into the
+    binning elementwise pass (no extra HBM traffic). The caller must
+    still sanity-check the result against the dispatch loop (a hoisted
+    body shows up ~iters x faster)."""
     from distropointclouds_tpu.core.types import PointBatch
 
     @jax.jit
     def scan_fn(variables, batch):
         def body(acc, _):
-            eps = (acc * jnp.float32(0.0)).astype(jnp.int32)
-            pts = PointBatch(xyzi=batch.xyzi, count=batch.count + eps)
+            eps = acc * jnp.float32(0.0)
+            pts = PointBatch(
+                xyzi=batch.xyzi + eps,
+                count=batch.count + eps.astype(jnp.int32),
+            )
             out = inner(variables, pts)
             return acc + jnp.sum(out["probs"][:, 0, 0]), None
 
