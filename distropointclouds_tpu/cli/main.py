@@ -292,6 +292,7 @@ def cmd_stream(args) -> int:
         output_dir=args.out,
         dl_images_dir=os.path.join(args.out, "png"),
         store_pointcloud_png=args.png,
+        profile=getattr(args, "profile", None),
     )
     stream = ScanContextStream(cfg, save=True)
     for path in args.bins:
@@ -472,6 +473,12 @@ def build_parser() -> argparse.ArgumentParser:
     st.add_argument("--voxel_size", type=float, default=0.20)
     st.add_argument("--max_length", type=float, default=80.0)
     st.add_argument("--png", action="store_true")
+    st.add_argument(
+        "--profile", choices=["golden_v2", "ros_node", "scaner_v1"],
+        help="named descriptor profile override; golden_v2 makes the "
+        "stream a drop-in for the scaner_version2.py batch job "
+        "(ignores --voxel_size/--max_length)",
+    )
     st.set_defaults(fn=cmd_stream)
 
     tp = sub.add_parser("throughput", help=cmd_throughput.__doc__)

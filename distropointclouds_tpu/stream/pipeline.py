@@ -56,8 +56,17 @@ class StreamConfig:
     # Stream extras
     queue_depth: int = 5  # QoS keep-last depth (scan_context_node.py:236-241)
     max_points: int = 131072
+    # Named descriptor profile override. None = the node's semantics
+    # built from the ROS-parameter fields above; "golden_v2" makes the
+    # stream a drop-in for the scaner_version2.py batch job (clamp
+    # edges, zero substitution, max_length 20, no downsample) so its
+    # output matches the golden sc_*.npy fixtures.
+    profile: Optional[str] = None
 
     def scan_context_config(self) -> ScanContextConfig:
+        if self.profile is not None:
+            base = getattr(ScanContextConfig, self.profile)()
+            return dataclasses.replace(base, max_points=self.max_points)
         return ScanContextConfig(
             num_ring=self.ring_res,
             num_sector=self.sector_res,
@@ -96,7 +105,7 @@ class ScanContextStream:
         self.stats = {"received": 0, "processed": 0, "skipped": 0, "dropped": 0}
 
         sc_cfg = self.sc_cfg
-        voxel = cfg.voxel_size
+        voxel = sc_cfg.voxel_size  # profile-authoritative (0 = off)
 
         def program(points: PointBatch) -> jnp.ndarray:
             xyz = points.xyzi[..., :3]

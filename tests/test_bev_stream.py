@@ -191,6 +191,27 @@ def test_stream_matches_ros_node_semantics(rng):
     np.testing.assert_array_equal(sc, ref)
 
 
+def test_stream_golden_profile_matches_fixture(reference_available):
+    """StreamConfig(profile="golden_v2") makes the stream a drop-in for
+    the scaner_version2.py batch job: its descriptor on a golden .bin
+    matches the golden sc_*.npy fixture (same <=10 boundary-cell bound
+    as the core parity gate) despite the node-semantics defaults of the
+    other StreamConfig fields."""
+    from distropointclouds_tpu.io import fixtures
+    from distropointclouds_tpu.stream.pipeline import (
+        ScanContextStream,
+        StreamConfig,
+    )
+
+    cfg = StreamConfig(profile="golden_v2")
+    sc_cfg = cfg.scan_context_config()
+    assert sc_cfg.voxel_size == 0.0 and sc_cfg.max_length == 20.0
+    xyz = fixtures.golden_scan("000840")[:, :3]
+    sc = ScanContextStream(cfg).process_one(xyz)
+    golden = fixtures.golden_descriptor("000840")
+    assert int((sc != golden).sum()) <= 10
+
+
 def test_viz_outputs(tmp_path, rng, reference_available):
     from distropointclouds_tpu.io import fixtures
     from distropointclouds_tpu.utils import viz
