@@ -290,6 +290,38 @@ def test_fit_tiny_run_and_resume(tmp_path):
     assert recs[-1]["epoch"] == 3  # resumed at epoch 3, not 1
 
 
+def test_fit_deterministic_across_runs(tmp_path):
+    """SURVEY §4.3 determinism gate: two fits with the same seed produce
+    the SAME loss trajectory (the reference only loosely reproduces —
+    torch DataLoader worker nondeterminism; here the data pipeline is
+    seeded jax.random, so runs are exactly repeatable)."""
+    from distropointclouds_tpu.train.data import load_scan_context_dir
+    from distropointclouds_tpu.train.fit import fit
+
+    d = make_synthetic_dataset(tmp_path / "data", n=8, H=32, W=96)
+    data = load_scan_context_dir(d)
+    data.sc = data.sc[:, :32, :96].copy()
+
+    def run(tag):
+        cfg = TrainConfig(
+            model="tiny_cnn", height=32, width=96, batch_size=4,
+            epochs=2, normalize="minmax", roll_max=8, seed=7,
+            val_split=0.25, test_split=0.25,
+            ckpt_dir=str(tmp_path / f"ckpt_{tag}"),
+        )
+        log = tmp_path / f"log_{tag}.jsonl"
+        fit(data, cfg, log_path=str(log))
+        return [
+            json.loads(l)["train_loss"]
+            for l in open(log).read().strip().splitlines()
+            if "train_loss" in l
+        ]
+
+    a, b = run("a"), run("b")
+    assert len(a) == 2
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_train_step_sharded_matches_single_device():
     """SURVEY §4.3 distributed gate: the psum'd (XLA-inserted) gradients
     of the sharded train step must equal the single-device gradients on
