@@ -245,6 +245,11 @@ def main():
         split=(tr_idx, val_idx, np.asarray([], np.int64)),
         eval_threshold=0.35,
         eval_every=EVAL_EVERY,
+        # DPC_DET_RESUME=1 continues a fold interrupted by a tunnel
+        # stall from its last checkpoint — safe because the synthetic
+        # pool is seeded (default_rng(7)), so the rerun sees the
+        # identical dataset.
+        resume=os.environ.get("DPC_DET_RESUME") == "1",
     )
 
     # End-to-end demo: raw .bin -> descriptor -> TinyUNet -> peaks,
