@@ -321,8 +321,57 @@ def regime_fast(stride=1):
     return loop_sps if steady > 1.25 * loop_sps else steady
 
 
+def wait_for_device(deadline_s: float) -> bool:
+    """Block until the tunneled TPU answers a tiny computation, up to
+    ``deadline_s``. The axon tunnel sporadically goes down for stretches
+    (2026-08-17: a multi-hour outage); without this guard, backend init
+    HANGS inside jax.devices() and the bench never prints its JSON line.
+    Probing in a SUBPROCESS keeps this process's jax backend state
+    clean (a failed in-process init is cached and cannot be retried)."""
+    import subprocess
+
+    probe = (
+        "import jax, jax.numpy as jnp; "
+        "print(float((jnp.ones((8, 128)) + 1).sum()))"
+    )
+    t0 = time.perf_counter()
+    first = True
+    while True:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", probe], timeout=120, capture_output=True
+            )
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if first:
+            print("bench: TPU unreachable, waiting for tunnel...", file=sys.stderr)
+            first = False
+        if time.perf_counter() - t0 > deadline_s:
+            return False
+        time.sleep(60)
+
+
 def main():
     from distropointclouds_tpu.core.config import PipelineConfig
+
+    if not wait_for_device(float(os.environ.get("DPC_BENCH_WAIT_S", "1800"))):
+        # Honest failure artifact: a parseable JSON line (value 0, error
+        # key) plus a nonzero exit so the driver records the outage
+        # rather than hanging until its own timeout.
+        print(
+            json.dumps(
+                {
+                    "metric": "scans/sec/chip end-to-end — NOT MEASURED: TPU tunnel unreachable",
+                    "value": 0.0,
+                    "unit": "scans/sec/chip",
+                    "vs_baseline": 0.0,
+                    "error": "TPU tunnel unreachable past DPC_BENCH_WAIT_S; last measured numbers: docs/PERF.md r3 table",
+                }
+            )
+        )
+        raise SystemExit(3)
 
     cfg = PipelineConfig()
     extra = {}
