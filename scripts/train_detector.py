@@ -29,6 +29,11 @@ import numpy as np
 import jax
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+if os.environ.get("JAX_PLATFORMS"):
+    # honor an explicit platform request despite the sitecustomize hook
+    # that re-registers the tunneled TPU after env parsing (CLAUDE.md);
+    # lets folds run/evaluate on CPU during a tunnel outage.
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DATA_DIR = os.path.join(REPO, "runs", "detector_data")
@@ -36,6 +41,9 @@ VAL_ID = 2160  # held-out golden scan (override: DPC_DET_VAL=2073 etc.)
 _VAL = int(os.environ.get("DPC_DET_VAL", VAL_ID))
 # DPC_DET_TRAINER=b (TinyUNet heatmap, default) | c (ScanContextUNet
 # covered-cells segmentation, polar convs + banded-threshold inference)
+# | a (TinyCNN covered-cells segmentation, mask->connected-components
+# inference — tiny_sc_ped.py semantics; the reference's own shipped
+# trainer-A checkpoint detects nothing, SURVEY §6)
 TRAINER = os.environ.get("DPC_DET_TRAINER", "b")
 _SUFFIX = "" if TRAINER == "b" else f"_{TRAINER}"
 CKPT_DIR = os.path.join(REPO, "runs", f"detector_ckpt{_SUFFIX}_{_VAL:06d}")
@@ -222,6 +230,21 @@ def main():
             device_cache=True,
             ckpt_dir=CKPT_DIR,
         )
+    elif TRAINER == "a":
+        cfg = dataclasses.replace(
+            TrainConfig.trainer_a(),
+            epochs=EPOCHS,
+            batch_size=16,
+            # Amplitude calibration, same story as trainers B/C below:
+            # at the reference's pos_weight=2.0 the ~0.1%-positive masks
+            # leave probabilities below 0.5 (the reference's OWN trained
+            # tinycnn_best.pth maxes at sigmoid 0.059 — SURVEY §6). The
+            # dice term helps but BCE dominates early; raise via
+            # DPC_DET_POS_WEIGHT when a fold under-shoots.
+            pos_weight=float(os.environ.get("DPC_DET_POS_WEIGHT", "2.0")),
+            device_cache=True,
+            ckpt_dir=CKPT_DIR,
+        )
     else:
         cfg = dataclasses.replace(
             TrainConfig.trainer_c(),
@@ -278,6 +301,15 @@ def main():
             normalize="clip", detector=DetectorConfig(peak_threshold=0.15)
         )
         fn = jax.jit(build_pipeline("tiny_unet", pipe_cfg, postprocess="peaks"))
+    elif TRAINER == "a":
+        # trainer A: minmax normalization, sigmoid > mask_threshold 0.5,
+        # connected components >= 20 px, centroid detections
+        # (tiny_sc_ped.py:196-234). Component scores are AREAS, not
+        # probabilities — detections are reported unthresholded (the
+        # 0.5/20px gates already applied inside the pipeline).
+        pipe_cfg = PipelineConfig(normalize="minmax")
+        fn = jax.jit(build_pipeline("tiny_cnn", pipe_cfg,
+                                    postprocess="components"))
     else:
         # trainer C: minmax normalization, ring-banded thresholds ->
         # connected components (tiny_sc_pred_v2.py:667-724 semantics)
@@ -298,7 +330,10 @@ def main():
         # the deduplicated-GT metrics.
         gts_unique = sorted(set(gts))
         results[sid] = {"role": role}
-        for thr in (0.35, 0.2):
+        # trainer A's component scores are pixel areas (already gated at
+        # mask 0.5 / 20 px); B and C report prob thresholds.
+        thrs = (0.0,) if TRAINER == "a" else (0.35, 0.2)
+        for thr in thrs:
             preds = [
                 (float(r), float(s), float(v))
                 for r, s, v, ok in zip(
