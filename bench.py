@@ -331,7 +331,13 @@ def wait_for_device(deadline_s: float) -> bool:
     import subprocess
 
     probe = (
+        # The backend assert guards the OTHER outage failure mode: a
+        # fast-failing tunnel (PJRT init raises instead of hanging)
+        # makes jax fall back to the CPU platform, and without the
+        # check the bench would record 1-core-CPU throughput as the
+        # scans/sec/chip headline with exit code 0.
         "import jax, jax.numpy as jnp; "
+        "assert jax.default_backend() == 'tpu', jax.default_backend(); "
         "print(float((jnp.ones((8, 128)) + 1).sum()))"
     )
     t0 = time.perf_counter()
@@ -356,7 +362,10 @@ def wait_for_device(deadline_s: float) -> bool:
 def main():
     from distropointclouds_tpu.core.config import PipelineConfig
 
-    if not wait_for_device(float(os.environ.get("DPC_BENCH_WAIT_S", "1800"))):
+    # Default outage budget 1h: the 2026-08-17 tunnel outage ran multi-
+    # hour; a round-end bench should ride out the short ones and emit
+    # the honest value-0 artifact on the long ones.
+    if not wait_for_device(float(os.environ.get("DPC_BENCH_WAIT_S", "3600"))):
         # Honest failure artifact: a parseable JSON line (value 0, error
         # key) plus a nonzero exit so the driver records the outage
         # rather than hanging until its own timeout.

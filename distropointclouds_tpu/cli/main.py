@@ -492,8 +492,12 @@ def build_parser() -> argparse.ArgumentParser:
     tp.add_argument("--threads", type=int, default=4)
     tp.set_defaults(fn=cmd_throughput)
 
+    # NOTE: main() routes "ros-node" around argparse entirely — the
+    # forwarded tokens are dash-prefixed ("--ros-args -p name:=value")
+    # and argparse >= 3.12.5 rejects leading option strings even under
+    # nargs=REMAINDER. This registration exists for --help listing.
     rn = sub.add_parser("ros-node", help=cmd_ros_node.__doc__)
-    rn.add_argument("ros_args", nargs="*",
+    rn.add_argument("ros_args", nargs=argparse.REMAINDER,
                     help="arguments forwarded to rclpy.init (e.g. "
                          "--ros-args -p topic:=/velodyne_points)")
     rn.set_defaults(fn=cmd_ros_node)
@@ -511,6 +515,15 @@ def main(argv=None) -> int:
         import jax
 
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if argv[:1] == ["ros-node"]:
+        # Everything after the subcommand is forwarded to rclpy
+        # verbatim ("--ros-args -p name:=value"); the tokens are
+        # dash-prefixed, which argparse >= 3.12.5 cannot capture even
+        # with nargs=REMAINDER, so bypass the parser for this command.
+        from ..stream.ros_node import main as ros_main
+
+        return ros_main(argv[1:] or None)
     args = build_parser().parse_args(argv)
     return args.fn(args)
 

@@ -316,17 +316,16 @@ def epoch_batches(
             sel = np.concatenate([sel, np.repeat(sel[-1:], batch_size - n_real)])
         weight = (np.arange(batch_size) < n_real).astype(np.float32)
         if on_device:
-            # Device-resident dataset (to_device): one jitted gather per
+            # Device-resident dataset (to_device): ONE jitted gather per
             # batch — only `sel` (B x i32) crosses the host boundary.
+            # `cells` rides the same program (None traces a separate
+            # cells-free variant) so the ~1 ms/call host-dispatch floor
+            # is paid once per batch, not twice.
             gathered = _gather_batch(
                 data.sc, data.centers, data.boxes, data.distance,
                 data.num_cells, data.ped_valid, jnp.asarray(sel, jnp.int32),
+                data.cells,
             )
-            if data.cells is not None:
-                gathered = dict(gathered)
-                gathered["cells"] = _gather_cells(
-                    data.cells, jnp.asarray(sel, jnp.int32)
-                )
         else:
             gathered = {
                 "sc": data.sc[sel],
@@ -346,13 +345,9 @@ def epoch_batches(
 
 
 @jax.jit
-def _gather_cells(cells, sel):
-    return cells[sel]
-
-
-@jax.jit
-def _gather_batch(sc, centers, boxes, distance, num_cells, ped_valid, sel):
-    return {
+def _gather_batch(sc, centers, boxes, distance, num_cells, ped_valid, sel,
+                  cells=None):
+    out = {
         "sc": sc[sel],
         "centers": centers[sel],
         "boxes": boxes[sel],
@@ -360,6 +355,9 @@ def _gather_batch(sc, centers, boxes, distance, num_cells, ped_valid, sel):
         "num_cells": num_cells[sel],
         "ped_valid": ped_valid[sel],
     }
+    if cells is not None:
+        out["cells"] = cells[sel]
+    return out
 
 
 def prefetch_to_device(iterator, size: int = 2, sharding=None):

@@ -51,18 +51,18 @@ def main():
     from distropointclouds_tpu.pipeline import build_pipeline
     from distropointclouds_tpu.train.checkpoint import CheckpointManager
 
+    # Route each fold dir to the model family that trained it:
+    # detector_ckpt_<6 digits> = trainer B (tiny_unet), _c_* = trainer C
+    # (sc_unet), _a_* = trainer A (tiny_cnn) — restoring across families
+    # fails on the flax param-structure mismatch.
+    import re
+
+    run_dirs = sorted(os.listdir(os.path.join(REPO, "runs")))
     folds = {
-        "tiny_unet": [
-            d for d in sorted(os.listdir(os.path.join(REPO, "runs")))
-            if d.startswith("detector_ckpt_")
-        ],
-        "sc_unet": [
-            d for d in sorted(os.listdir(os.path.join(REPO, "runs")))
-            if d.startswith("detector_ckpt_c_")
-        ],
+        "tiny_unet": [d for d in run_dirs if re.fullmatch(r"detector_ckpt_\d{6}", d)],
+        "sc_unet": [d for d in run_dirs if d.startswith("detector_ckpt_c_")],
+        "tiny_cnn": [d for d in run_dirs if d.startswith("detector_ckpt_a_")],
     }
-    # detector_ckpt_c_* are sc_unet; exclude them from the tiny_unet list
-    folds["tiny_unet"] = [d for d in folds["tiny_unet"] if "_c_" not in d]
 
     results = {}
     for model_name, dirs in folds.items():
@@ -76,7 +76,11 @@ def main():
                 print(f"skip {d}: {e}")
                 continue
             normalize = "clip" if model_name == "tiny_unet" else "minmax"
-            post = "peaks" if model_name == "tiny_unet" else "banded"
+            post = {
+                "tiny_unet": "peaks",   # heatmap peak NMS (trainer B)
+                "sc_unet": "banded",    # ring-banded thresholds (trainer C)
+                "tiny_cnn": "components",  # mask -> CC (trainer A)
+            }[model_name]
             outs = {}
             for dtype in ("float32", "bfloat16"):
                 cfg = PipelineConfig(

@@ -73,6 +73,11 @@ def main():
 
     ckpt = os.path.join(OUT, "ckpt" + suffix)
     log = os.path.join(OUT, f"log{suffix}.jsonl")
+    # fit() opens the log in append mode; a rerun (DPC_DR_REUSE=1, or a
+    # stall retry) would otherwise mix epoch records from multiple runs
+    # into median_epoch_s / samples_per_s. Start every run on a fresh log.
+    if os.path.exists(log):
+        os.remove(log)
     train_cmd = [
         sys.executable, "-m", "distropointclouds_tpu.cli.main", "train",
         "--sc_dir", sc_dir, "--trainer", "b", "--epochs", str(EPOCHS),

@@ -14,6 +14,7 @@ CPU is fine for this (4 scans): JAX_PLATFORMS=cpu python scripts/threshold_sweep
 
 import json
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -36,10 +37,13 @@ def main():
     from distropointclouds_tpu.train import metrics as M
     from distropointclouds_tpu.train.checkpoint import CheckpointManager
 
+    # Trainer-B (TinyUNet) folds only: detector_ckpt_<6 digits>.
+    # detector_ckpt_c_* are sc_unet and detector_ckpt_a_* are tiny_cnn
+    # checkpoints — restoring either into the tiny_unet pipeline would
+    # fail on the flax param-structure mismatch.
     folds = sorted(
         d for d in os.listdir(os.path.join(REPO, "runs"))
-        if d.startswith("detector_ckpt_") and "_c_" not in d
-        and d != "detector_ckpt_c"
+        if re.fullmatch(r"detector_ckpt_\d{6}", d)
     )
     cfg = PipelineConfig(
         normalize="clip",

@@ -161,3 +161,19 @@ def test_cli_ros_node_registered():
     if not HAVE_ROS:
         with pytest.raises(SystemExit, match="rclpy"):
             args.fn(args)
+
+
+def test_cli_ros_node_forwards_ros_args():
+    """The documented parameterized launch (`ros-node --ros-args -p
+    name:=value`, docs/MIGRATION.md) must reach rclpy verbatim —
+    argparse >= 3.12.5 rejects the dash-prefixed tokens even under
+    nargs=REMAINDER, so main() routes around the parser. On ROS-less
+    hosts the tokens still reach ros_node.main, which exits on the
+    missing rclpy (not an argparse usage error, which exits 2 before
+    any forwarding)."""
+    from distropointclouds_tpu.stream.ros_node import HAVE_ROS
+
+    if HAVE_ROS:
+        pytest.skip("ROS present: launching a live node is out of scope")
+    with pytest.raises(SystemExit, match="rclpy"):
+        main(["ros-node", "--ros-args", "-p", "topic:=/velodyne_points"])
