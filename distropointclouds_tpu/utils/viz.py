@@ -8,7 +8,9 @@ history plots (`tiny_sc_pred_v2.py:611-662`), and the blocking Open3D
 windows (`scaner_version2.py:180-214`, `reconstruct_pointcloud.py:132-202`)
 — with headless file outputs (PNG via matplotlib-Agg / cv2, point clouds
 as PLY, since this framework targets display-less TPU hosts; open3d is
-not required).
+not required). Hosts WITH a display get the interactive twin
+:func:`show_lidar_scene_3d` (open3d when importable, live matplotlib 3D
+otherwise — import-guarded exactly like the ROS 2 shim).
 """
 
 from __future__ import annotations
@@ -352,6 +354,29 @@ def save_lidar_scene_3d(
         reconstruct_pointcloud.py:153-165).
     """
     plt = _plt()
+    fig = _lidar_scene_figure(
+        plt, points, boxes_lidar=boxes_lidar, corners=corners,
+        max_points=max_points, color_by=color_by, elev=elev, azim=azim,
+        point_size=point_size, highlight_mask=highlight_mask,
+    )
+    fig.savefig(path, dpi=110, facecolor="black")
+    plt.close(fig)
+
+
+def _lidar_scene_figure(
+    plt,
+    points: np.ndarray,
+    boxes_lidar: Optional[np.ndarray] = None,
+    corners: Optional[np.ndarray] = None,
+    max_points: int = 40000,
+    color_by: str = "height",
+    elev: float = 28.0,
+    azim: float = -160.0,
+    point_size: float = 0.4,
+    highlight_mask: Optional[np.ndarray] = None,
+):
+    """Build the 3D LiDAR scene figure on the CALLER's pyplot (Agg for
+    the offscreen saver, an interactive backend for show_*)."""
     from mpl_toolkits.mplot3d import Axes3D  # noqa: F401 (side-effect import)
 
     pts = np.asarray(points, dtype=np.float32)
@@ -419,5 +444,92 @@ def save_lidar_scene_3d(
     ax.set_facecolor("black")
     fig.patch.set_facecolor("black")
     fig.tight_layout()
-    fig.savefig(path, dpi=110, facecolor="black")
-    plt.close(fig)
+    return fig
+
+
+HAVE_OPEN3D = True
+try:  # optional: interactive windows need a display + open3d
+    import open3d as _o3d  # noqa: F401
+except Exception:  # pragma: no cover - exercised on open3d-less hosts
+    HAVE_OPEN3D = False
+
+
+def show_lidar_scene_3d(
+    points: np.ndarray,
+    boxes_lidar: Optional[np.ndarray] = None,
+    corners: Optional[np.ndarray] = None,
+    highlight_mask: Optional[np.ndarray] = None,
+    window_name: str = "distropointclouds",
+) -> None:
+    """Interactive 3D window: LiDAR points + 3D box wireframes.
+
+    The interactive twin of :func:`save_lidar_scene_3d` — the
+    reference's blocking Open3D scenes (`scaner_version2.py:180-214`,
+    `reconstruct_pointcloud.py:132-202`: base points gray, covered
+    cells painted red) and mayavi `show_lidar_with_boxes`
+    (`visualization_utils.py:167-198`). Uses open3d when importable
+    (same geometry objects: PointCloud + 12-edge LineSets); falls back
+    to an interactive matplotlib window on hosts with a display but no
+    open3d. On display-less TPU hosts raise with a pointer to the
+    offscreen renderer instead of hanging in a windowing call.
+
+    Args mirror :func:`save_lidar_scene_3d` (points (N, >=3);
+    boxes_lidar (M, 7) or precomputed corners (M, 8, 3);
+    highlight_mask paints points red, the reconstruct overlay).
+    """
+    pts = np.asarray(points, dtype=np.float64)[:, :3]
+    hl = (
+        np.asarray(highlight_mask, bool)
+        if highlight_mask is not None
+        else np.zeros(len(pts), bool)
+    )
+    if corners is None and boxes_lidar is not None and len(boxes_lidar):
+        from ..geometry.boxes import center_to_corner_box3d
+
+        corners = np.asarray(
+            center_to_corner_box3d(np.asarray(boxes_lidar, np.float32))
+        )
+
+    if HAVE_OPEN3D:
+        pcd = _o3d.geometry.PointCloud()
+        pcd.points = _o3d.utility.Vector3dVector(pts)
+        colors = np.full((len(pts), 3), 0.6)
+        colors[hl] = (1.0, 0.0, 0.0)  # reconstruct_pointcloud.py:158-165
+        pcd.colors = _o3d.utility.Vector3dVector(colors)
+        geoms = [pcd]
+        if corners is not None:
+            for box in np.asarray(corners, np.float64):
+                ls = _o3d.geometry.LineSet()
+                ls.points = _o3d.utility.Vector3dVector(box)
+                ls.lines = _o3d.utility.Vector2iVector(
+                    np.asarray(_BOX_EDGES_3D, np.int32)
+                )
+                ls.colors = _o3d.utility.Vector3dVector(
+                    np.tile((0.0, 1.0, 0.0), (len(_BOX_EDGES_3D), 1))
+                )
+                geoms.append(ls)
+        _o3d.visualization.draw_geometries(geoms, window_name=window_name)
+        return
+
+    import os
+
+    if not (os.environ.get("DISPLAY") or os.environ.get("WAYLAND_DISPLAY")):
+        raise RuntimeError(
+            "show_lidar_scene_3d needs open3d or a display; on headless "
+            "hosts use save_lidar_scene_3d(...) to render the same scene "
+            "to a PNG."
+        )
+    import matplotlib
+
+    matplotlib.use("TkAgg", force=True)
+    import matplotlib.pyplot as plt
+
+    # Same scene construction as the offscreen saver, but on a live
+    # backend: the window is rotatable/zoomable like the reference's
+    # mayavi/Open3D scenes.
+    fig = _lidar_scene_figure(
+        plt, np.asarray(points), corners=corners,
+        highlight_mask=highlight_mask,
+    )
+    fig.canvas.manager.set_window_title(window_name)
+    plt.show()

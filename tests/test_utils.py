@@ -140,6 +140,22 @@ def test_save_lidar_scene_3d(tmp_path):
     assert (tmp_path / "empty.png").exists()
 
 
+def test_show_lidar_scene_3d_guarded(monkeypatch):
+    """Interactive twin of the offscreen renderer (the reference's
+    blocking Open3D/mayavi windows): import-guarded like the ROS shim.
+    Without open3d AND without a display it must raise a pointed
+    RuntimeError instead of hanging in a windowing call."""
+    from distropointclouds_tpu.utils import viz
+
+    pts = np.zeros((10, 4), np.float32)
+    if viz.HAVE_OPEN3D:
+        pytest.skip("open3d present: opening a live window is out of scope")
+    monkeypatch.delenv("DISPLAY", raising=False)
+    monkeypatch.delenv("WAYLAND_DISPLAY", raising=False)
+    with pytest.raises(RuntimeError, match="save_lidar_scene_3d"):
+        viz.show_lidar_scene_3d(pts)
+
+
 def test_ros_node_importable_and_extract_xyz():
     """The rclpy shim must import on ROS-less hosts, and its pure-numpy
     PointCloud2 parser must decode a duck-typed message (float32 fields
