@@ -274,7 +274,7 @@ def scan_context_bitonic(
 ) -> jax.Array:
     """Descriptor via the VMEM bitonic kernel. Bit-identical to
     ``scan_context_sorted`` (same binning, same max semantics)."""
-    from .scan_context import _empty_fill, _finalize, polar_bin_indices
+    from .scan_context import _finalize, polar_bin_indices
 
     squeeze = xyz.ndim == 2
     if squeeze:

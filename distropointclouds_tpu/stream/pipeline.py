@@ -24,7 +24,7 @@ import dataclasses
 import logging
 import os
 import time
-from typing import Callable, Deque, Dict, List, Optional, Tuple
+from typing import Callable, Deque, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
