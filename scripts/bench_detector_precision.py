@@ -25,6 +25,10 @@ import jax
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+if os.environ.get("JAX_PLATFORMS"):
+    # honor an explicit platform request despite the sitecustomize hook
+    # that re-registers the tunneled TPU after env parsing (CLAUDE.md)
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

@@ -29,6 +29,12 @@ def main():
     import jax
 
     jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
+    if os.environ.get("JAX_PLATFORMS"):
+        # Honor the explicit platform request the docstring promises: a
+        # sitecustomize hook re-registers the tunneled TPU after env
+        # parsing (CLAUDE.md), so the env var alone does nothing — and
+        # during a tunnel outage the sweep would hang in backend init.
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
     from distropointclouds_tpu.core.config import DetectorConfig, PipelineConfig
     from distropointclouds_tpu.core.types import PointBatch
