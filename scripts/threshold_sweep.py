@@ -9,7 +9,12 @@ golden scans and reports predictions / P / R / F1 (vs deduplicated GT
 centers) at a ladder of thresholds, per scan and pooled over the
 training scans. Writes runs/threshold_sweep.json.
 
-CPU is fine for this (4 scans): JAX_PLATFORMS=cpu python scripts/threshold_sweep.py
+Provenance note: the COMMITTED runs/threshold_sweep.json was produced
+on the TPU at matmul_precision float32. A CPU rerun
+(JAX_PLATFORMS=cpu) is numerically valid but flips a handful of
+near-threshold prediction counts (CPU convs default to a higher
+effective f32 precision than the TPU float32 MXU pass), so regenerate
+the committed artifact on the TPU for apples-to-apples history.
 """
 
 import json
