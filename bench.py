@@ -343,9 +343,16 @@ def wait_for_device(deadline_s: float) -> bool:
     t0 = time.perf_counter()
     first = True
     while True:
+        # Bound the probe by the REMAINING deadline so the caller's
+        # outage JSON always prints within ~deadline_s (r3: a probe
+        # loop that overshot the deadline let the driver's own timeout
+        # win, and BENCH_r03.json recorded rc=124 with parsed:null).
+        remaining = deadline_s - (time.perf_counter() - t0)
         try:
             r = subprocess.run(
-                [sys.executable, "-c", probe], timeout=120, capture_output=True
+                [sys.executable, "-c", probe],
+                timeout=max(20.0, min(120.0, remaining)),
+                capture_output=True,
             )
             if r.returncode == 0:
                 return True
@@ -356,16 +363,18 @@ def wait_for_device(deadline_s: float) -> bool:
             first = False
         if time.perf_counter() - t0 > deadline_s:
             return False
-        time.sleep(60)
+        time.sleep(min(60.0, max(1.0, deadline_s - (time.perf_counter() - t0))))
 
 
 def main():
     from distropointclouds_tpu.core.config import PipelineConfig
 
-    # Default outage budget 1h: the 2026-08-17 tunnel outage ran multi-
-    # hour; a round-end bench should ride out the short ones and emit
-    # the honest value-0 artifact on the long ones.
-    if not wait_for_device(float(os.environ.get("DPC_BENCH_WAIT_S", "3600"))):
+    # Default outage budget 600 s: long enough to ride out a tunnel
+    # blip, short enough that the honest value-0 artifact below always
+    # prints INSIDE the driver's own timeout (r3's 3600 s default
+    # outlasted it and the driver recorded rc=124 / parsed:null
+    # instead of this JSON — VERDICT r3 weak #1).
+    if not wait_for_device(float(os.environ.get("DPC_BENCH_WAIT_S", "600"))):
         # Honest failure artifact: a parseable JSON line (value 0, error
         # key) plus a nonzero exit so the driver records the outage
         # rather than hanging until its own timeout.

@@ -469,8 +469,11 @@ def scan_context_packed(
     if n2 < num_cells:
         n2 = 1 << int(math.ceil(math.log2(num_cells)))
     if n2 > N:
+        # Python-int constant: int(sentinel) on the jax scalar would be
+        # a ConcretizationTypeError under jit (this branch only runs
+        # when the padded point count is not already a power of two).
         packed = jnp.pad(
-            packed, ((0, 0), (0, n2 - N)), constant_values=int(sentinel)
+            packed, ((0, 0), (0, n2 - N)), constant_values=num_cells << zbits
         )
 
     flat = packed_grid_from_bins(

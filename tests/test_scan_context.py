@@ -533,3 +533,42 @@ def test_point_stride_applies_to_all_impls(rng):
                      impl="sort")
     )
     np.testing.assert_array_equal(ref, manual)
+
+
+def test_packed_jit_nonpow2_pad_branch(rng):
+    """The packed backend under jit when the (post-stride) point count
+    is NOT a power of two, so the sentinel pad branch runs inside the
+    trace. Regression for r4: the pad constant was int(jax scalar),
+    which raises ConcretizationTypeError under jit — every prior caller
+    happened to use power-of-two max_points and never hit the branch."""
+    import dataclasses
+
+    from distropointclouds_tpu.ops.bitonic import scan_context_packed
+
+    from distropointclouds_tpu.ops.bitonic import Z_QUANT_RANGE, packed_zbits
+    from distropointclouds_tpu.ops.scan_context import scan_context_sorted
+
+    cfg = dataclasses.replace(
+        ScanContextConfig.golden_v2(),
+        num_ring=32, num_sector=128, max_points=3000,
+    )
+    zbits = packed_zbits(cfg.num_ring * cfg.num_sector)
+    step = (Z_QUANT_RANGE[1] - Z_QUANT_RANGE[0]) / ((1 << zbits) - 1)
+    xyz = rng.uniform(-25, 25, size=(2, 3000, 3)).astype(np.float32)
+    xyz[..., 2] = rng.uniform(-4, 4, size=(2, 3000)).astype(np.float32)
+    valid = jnp.asarray(rng.uniform(size=(2, 3000)) < 0.9)
+    xyz = jnp.asarray(xyz)
+    jitted = np.asarray(
+        jax.jit(lambda a, b: scan_context_packed(a, b, cfg))(xyz, valid)
+    )
+    # jit may fuse the dequantize (z_min + zq * step) into an FMA whose
+    # rounding differs from eager by a few ulps of the +-16 m clip range
+    # (~2e-6), ON TOP of the quantization bound — so the gate is
+    # step/2 + that rounding headroom vs the bit-exact sorted path,
+    # not jit==eager equality (measured max exceedance 1.7e-6).
+    ref = np.stack([
+        np.asarray(scan_context_sorted(xyz[i], valid[i], cfg))
+        for i in range(2)
+    ])
+    np.testing.assert_allclose(jitted, ref, atol=step / 2 + 4e-6)
+    np.testing.assert_array_equal(jitted == 0.0, ref == 0.0)
