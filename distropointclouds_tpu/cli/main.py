@@ -335,17 +335,37 @@ def cmd_throughput(args) -> int:
     )
     jax.block_until_ready(fn(variables, batch))
 
+    import numpy as _np
+
+    def _to_device(data, counts):
+        # Explicit async H2D: device_put on the loader's numpy buffers
+        # enqueues the transfer and returns immediately, so the upload
+        # rides UNDER the in-flight pipeline dispatches below.
+        return PointBatch(
+            xyzi=jax.device_put(data),
+            count=jax.device_put(_np.asarray(counts, _np.int32)),
+        )
+
     t0 = time.perf_counter()
     total = n
     pending = []
+    # Double-buffered serving loop (r3 VERDICT #7): batch k+1 is
+    # uploaded BEFORE batch k's compute is dispatched, so on a local-
+    # PCIe host the transfer of the next batch always overlaps the
+    # current pipeline call. On this tunneled rig the loop is RPC-bound
+    # either way (measured, docs/PERF.md "Serving-loop overlap").
+    buf = None  # (device batch, scan count) staged one step ahead
     for data, counts, n in it:
-        batch = PointBatch(
-            xyzi=jnp.asarray(data), count=jnp.asarray(counts, jnp.int32)
-        )
-        pending.append(fn(variables, batch))
-        if len(pending) > 2:
-            jax.block_until_ready(pending.pop(0))
-        total += n
+        nxt = (_to_device(data, counts), n)
+        if buf is not None:
+            pending.append(fn(variables, buf[0]))
+            if len(pending) > 2:
+                jax.block_until_ready(pending.pop(0))
+            total += buf[1]
+        buf = nxt
+    if buf is not None:
+        pending.append(fn(variables, buf[0]))
+        total += buf[1]
     for p in pending:
         jax.block_until_ready(p)
     dt = time.perf_counter() - t0
@@ -521,6 +541,11 @@ def main(argv=None) -> int:
         # verbatim ("--ros-args -p name:=value"); the tokens are
         # dash-prefixed, which argparse >= 3.12.5 cannot capture even
         # with nargs=REMAINDER, so bypass the parser for this command.
+        # Except -h/--help: that should print the registered
+        # subparser's help, not reach rclpy.init (r3 ADVICE).
+        if argv[1:2] and argv[1] in ("-h", "--help"):
+            build_parser().parse_args(argv[:2])  # prints help, exits
+            return 0
         from ..stream.ros_node import main as ros_main
 
         return ros_main(argv[1:] or None)

@@ -152,9 +152,10 @@ class DetectorConfig:
     peak_nms_kernel: int = 7
     peak_threshold: float = 0.4
     peak_topk: int = 200
-    # Greedy wrap-aware center matching (train_sc_ped.py:312-340)
-    match_max_ring_dist: int = 3
-    match_max_sector_dist: int = 6
+    # (The greedy wrap-aware center-matching tolerances — dr<=3 rings,
+    # ds<=6 sectors, train_sc_ped.py:312-340 — are evaluation-side
+    # knobs and live as arguments of train.metrics.match_centers, not
+    # here: matching never runs inside the jitted pipeline.)
     # Ring-banded thresholds (tiny_sc_pred_v2.py:339-349,697-700)
     band_edges: Tuple[int, ...] = (60, 120)
     band_thresholds: Tuple[float, ...] = (0.5, 0.4, 0.3)
@@ -238,8 +239,10 @@ class TrainConfig:
     # Single-device fit() only (ignored under a mesh, where batches are
     # placed per-shard); costs 0.44 MB HBM per sample.
     device_cache: bool = False
-    # Duplicate-pedestrian behavior (SURVEY §2.3 quirk register #2)
-    dedupe_pedestrians: bool = False
+    # (The duplicate-pedestrian quirk — SURVEY §2.3 register #2 — is a
+    # dataset-generation decision: `cli build-dataset --dedupe` /
+    # labels.pedestrians.pedestrians_in_scan_context(dedupe=...). The
+    # trainers consume whatever JSONs the dataset carries.)
     ckpt_dir: str = "checkpoints"
 
     @staticmethod
@@ -292,7 +295,6 @@ class PipelineConfig:
 
     scan_context: ScanContextConfig = ScanContextConfig()
     detector: DetectorConfig = DetectorConfig()
-    mesh: MeshConfig = MeshConfig()
     normalize: str = "minmax"
     # CNN-stage numerics. Two independent knobs, both trace-time:
     #
@@ -337,10 +339,12 @@ class PipelineConfig:
         """OPT-IN non-parity throughput mode (the sanctioned fast
         profile, CLAUDE.md): half-resolution 80x360 grid whose cells are
         exactly maxpool2x2 of the golden grid, the packed single-key
-        bitonic descriptor (z quantized to ~0.5 mm at this grid), and
-        bf16 CNN activations. Accuracy deltas are measured and
-        documented in docs/PERF.md; every parity gate stays on the
-        default profile."""
+        bitonic descriptor (z quantized to ~0.5 mm at this grid, and
+        CLIPPED to +-16 m — out-of-range heights saturate, so the
+        error bound only holds for |z| <= 16 m; see
+        ops.bitonic.Z_QUANT_RANGE), and bf16 CNN activations. Accuracy
+        deltas are measured and documented in docs/PERF.md; every
+        parity gate stays on the default profile."""
         kw.setdefault("scan_context", ScanContextConfig.fast(stride))
         kw.setdefault("descriptor_impl", "bitonic_packed")
         return cls(**kw)

@@ -279,6 +279,10 @@ def scan_context(
         "scatter" (XLA baseline). All bit-identical. "bitonic_packed"
         is the OPT-IN fast backend (single-key sort, z quantized to
         ~2 mm at the golden grid — non-parity; see ops/bitonic.py).
+        The packed backend additionally CLIPS z to Z_QUANT_RANGE
+        (+-16 m): points outside saturate to the range edge, so its
+        quantization-error bound only holds for |z| <= 16 m (fine for
+        KITTI, whose z spans ~[-3, 4] m).
 
     Returns:
       [..., num_ring, num_sector] float32 descriptor grid(s).

@@ -130,7 +130,11 @@ def load_scan_context_dir(
             pc = np.asarray(
                 ped.get("covered_cells", []), np.int64
             ).reshape(-1, 2)[:CELL_CAPACITY]
-            n[i] = len(ped.get("covered_cells", []))
+            # Cap the stored count at the stored cells (r3 ADVICE): a
+            # pedestrian covering > CELL_CAPACITY cells keeps only the
+            # first CELL_CAPACITY rows, and the count must match them —
+            # _ped_masks_from_cells tests j < num_cells against cl.
+            n[i] = min(len(ped.get("covered_cells", [])), CELL_CAPACITY)
             cl[i, : len(pc)] = pc.astype(np.int16)
             v[i] = True
         centers.append(c)

@@ -27,6 +27,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+import jax
+
+if os.environ.get("JAX_PLATFORMS"):
+    # Honor an explicit platform request despite the sitecustomize hook
+    # that re-registers the tunneled TPU after env parsing (CLAUDE.md) —
+    # geometry.calib.mean_calibration builds jnp constants, and this
+    # pure-host synthesis script must never block on the TPU tunnel.
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 SENSOR_H = 1.73  # KITTI Velodyne mount height (m)
 
 

@@ -177,3 +177,13 @@ def test_cli_ros_node_forwards_ros_args():
         pytest.skip("ROS present: launching a live node is out of scope")
     with pytest.raises(SystemExit, match="rclpy"):
         main(["ros-node", "--ros-args", "-p", "topic:=/velodyne_points"])
+
+
+def test_cli_ros_node_help_prints_usage(capsys):
+    """`cli ros-node --help` prints the registered subparser's help
+    instead of forwarding ['--help'] to rclpy.init (r3 ADVICE)."""
+    with pytest.raises(SystemExit) as e:
+        main(["ros-node", "--help"])
+    assert e.value.code == 0
+    out = capsys.readouterr().out
+    assert "ros-node" in out and "ros_args" in out

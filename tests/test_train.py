@@ -595,3 +595,34 @@ def test_mask_targets_from_json_cells_match_box_masks():
     cfgc = TrainConfig(**{**TrainConfig.trainer_c().__dict__, "roll_aug": False})
     out = build_targets(b, cfgc)
     assert np.asarray(out["target"]).sum() > 0
+
+
+def test_loader_caps_num_cells_at_capacity(tmp_path):
+    """A pedestrian covering more than CELL_CAPACITY cells keeps only
+    the first CELL_CAPACITY rows, and the stored count matches the
+    stored cells (r3 ADVICE: the count used to store the untruncated
+    JSON length, so _ped_masks_from_cells's j < num_cells validity test
+    would run past the real rows)."""
+    from distropointclouds_tpu.train.data import (
+        CELL_CAPACITY,
+        load_scan_context_dir,
+    )
+
+    os.makedirs(tmp_path, exist_ok=True)
+    np.save(tmp_path / "sc_000001.npy",
+            np.zeros((160, 720), np.float32))
+    big = [[r, s] for r in range(20) for s in range(20)]  # 400 cells
+    ped = {
+        "class": "Pedestrian", "x": 3.0, "y": 0.0, "z": -0.5,
+        "h": 1.7, "w": 0.6, "l": 0.8, "yaw": 0.0, "distance": 3.0,
+        "center_ring_idx": 10, "center_sector_idx": 10,
+        "covered_cells": big,
+    }
+    with open(tmp_path / "pedestrians_000001.json", "w") as f:
+        json.dump([ped], f)
+    data = load_scan_context_dir(str(tmp_path))
+    assert int(data.num_cells[0, 0]) == CELL_CAPACITY
+    # stored rows: exactly the first CELL_CAPACITY cells
+    np.testing.assert_array_equal(
+        data.cells[0, 0], np.asarray(big[:CELL_CAPACITY], np.int16)
+    )
