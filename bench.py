@@ -262,14 +262,26 @@ def regime_c(cfg):
     t0 = time.perf_counter()
     total = 0
     pending = []
+    # Same double-buffered structure as cli throughput (r3 VERDICT #7):
+    # batch k+1's async device_put is staged before batch k's dispatch.
+    buf = None
     for data, counts, n in it:
-        batch = PointBatch(
-            xyzi=jnp.asarray(data), count=jnp.asarray(counts, jnp.int32)
+        nxt = (
+            PointBatch(
+                xyzi=jax.device_put(data),
+                count=jax.device_put(np.asarray(counts, np.int32)),
+            ),
+            n,
         )
-        pending.append(fn(variables, batch))
-        if len(pending) > 2:
-            jax.block_until_ready(pending.pop(0))
-        total += n
+        if buf is not None:
+            pending.append(fn(variables, buf[0]))
+            if len(pending) > 2:
+                jax.block_until_ready(pending.pop(0))
+            total += buf[1]
+        buf = nxt
+    if buf is not None:
+        pending.append(fn(variables, buf[0]))
+        total += buf[1]
     for p in pending:
         jax.block_until_ready(p)
     # Force completion of the final program (block_until_ready can
