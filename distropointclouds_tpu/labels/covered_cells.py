@@ -19,6 +19,7 @@ parity test re-checks that here.
 
 from __future__ import annotations
 
+from functools import lru_cache as _lru_cache
 from typing import Tuple
 
 import jax.numpy as jnp
@@ -109,6 +110,21 @@ def covered_cells_list(
     return np.stack([rr, ss], axis=1)
 
 
+@_lru_cache(maxsize=8)
+def _host_cell_grid(
+    num_ring: int, num_sector: int, max_length: float
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Float64 Cartesian cell-center grids (R*cos(TH), R*sin(TH)) —
+    pedestrian-independent, so computed once per grid geometry (the
+    trig over all R*S cells dominated the per-pedestrian cost)."""
+    gap_ring = max_length / num_ring
+    gap_sector = 360.0 / num_sector
+    r_centers = (np.arange(num_ring) + 0.5) * gap_ring
+    t_centers = np.deg2rad((np.arange(num_sector) + 0.5) * gap_sector)
+    R, TH = np.meshgrid(r_centers, t_centers, indexing="ij")
+    return R * np.cos(TH), R * np.sin(TH)
+
+
 def covered_cells_mask_np(
     x: float,
     y: float,
@@ -118,16 +134,32 @@ def covered_cells_mask_np(
     cfg: ScanContextConfig = ScanContextConfig(),
 ) -> np.ndarray:
     """Float64 numpy twin of :func:`covered_cells_mask` for the host-side
-    label factory (bit-parity with the reference's JSON output)."""
-    r_centers = (np.arange(cfg.num_ring) + 0.5) * cfg.gap_ring
-    t_centers = np.deg2rad((np.arange(cfg.num_sector) + 0.5) * cfg.gap_sector)
-    R, TH = np.meshgrid(r_centers, t_centers, indexing="ij")
-    X = R * np.cos(TH) - x
-    Y = R * np.sin(TH) - y
+    label factory (bit-parity with the reference's JSON output).
+
+    Exactness-preserving restriction: a covered cell center is within
+    half the box diagonal of the box center, so only rings whose center
+    radius falls in that band (widened by one full ring of fp margin)
+    can contain covered cells. The predicate is evaluated with the
+    identical float64 sequence for every candidate cell, so the output
+    equals the reference's full-grid test (kitti_dataset.py:204-253)
+    bit for bit — parity-gated in tests/test_labels.py."""
+    GX, GY = _host_cell_grid(cfg.num_ring, cfg.num_sector, cfg.max_length)
+    mask = np.zeros(GX.shape, bool)
+    halfdiag = 0.5 * float(np.hypot(l, w))
+    r_ped = float(np.hypot(x, y))
+    lo = max(0, int(np.floor((r_ped - halfdiag) / cfg.gap_ring)) - 1)
+    hi = min(
+        cfg.num_ring, int(np.ceil((r_ped + halfdiag) / cfg.gap_ring)) + 2
+    )
+    if lo >= hi:
+        return mask
+    X = GX[lo:hi] - x
+    Y = GY[lo:hi] - y
     c, s = np.cos(yaw), np.sin(yaw)
     Xl = c * X + s * Y
     Yl = -s * X + c * Y
-    return (np.abs(Xl) <= 0.5 * l) & (np.abs(Yl) <= 0.5 * w)
+    mask[lo:hi] = (np.abs(Xl) <= 0.5 * l) & (np.abs(Yl) <= 0.5 * w)
+    return mask
 
 
 def mask_from_cell_rows(
