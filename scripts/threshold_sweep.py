@@ -123,6 +123,15 @@ def main():
             f"{fold} [{tag}]: train-pooled @0.35 "
             f"preds={at35['tp'] + at35['fp']} f1={at35['f1']}"
         )
+    import datetime
+
+    sweep["_provenance"] = {
+        "platform": jax.devices()[0].platform,
+        "device": str(jax.devices()[0]),
+        "matmul_precision": "float32 (pinned via compute_dtype)",
+        "date": datetime.date.today().isoformat(),
+        "folds": {f: sweep[f]["tag"] for f in sweep if not f.startswith("_")},
+    }
     out = os.path.join(REPO, "runs", "threshold_sweep.json")
     with open(out, "w") as f:
         json.dump(sweep, f, indent=2)
