@@ -106,6 +106,189 @@ def write_calib(path, V2C, R0, P2):
             f.write(k + ": " + " ".join(f"{v:.12e}" for v in np.asarray(mats[k]).ravel()) + "\n")
 
 
+# --- v2 realism: single-return depth-map synthesis -------------------
+#
+# v1 composes independent point soups, so objects never occlude each
+# other and surface density is whatever the sampler chose — the r4
+# generalization run measured the consequence (golden-scan precision
+# collapse: a model trained on soup sees real street clutter as
+# pedestrians). v2 rasterizes every candidate surface point into a
+# (beam elevation x azimuth) depth map and keeps the NEAREST return per
+# bin — exactly what a spinning single-return LiDAR measures — which
+# buys occlusion shadows, range-dependent sampling density, and the
+# characteristic ground-ring structure in one mechanism. Scene content
+# is generic street furniture (building facades, foliage blobs, poles,
+# more cars, ellipsoidal pedestrian bodies); nothing is fitted to the
+# four golden scans.
+V2_BEAM_ELEV = np.deg2rad(np.linspace(-24.8, 2.0, 64))
+V2_N_AZ = 1800  # 0.2 deg azimuth bins
+V2_MAX_RANGE = 78.0
+
+
+def _v2_candidates_per_range(r, per_m2_at_1m, lo, hi):
+    return int(np.clip(per_m2_at_1m / max(r, 1.0) ** 2, lo, hi))
+
+
+def v2_ped_points(rng, cx, cy, h, w, l, n):
+    """Ellipsoidal torso+head scatter (a person is not a box shell)."""
+    z01 = rng.beta(1.6, 1.2, size=n)  # more mass in the torso/head
+    zz = -SENSOR_H + z01 * h
+    # lateral radius shrinks toward feet and head
+    shrink = 0.35 + 0.65 * np.sin(np.clip(z01, 0.05, 0.95) * np.pi) ** 0.5
+    ang = rng.uniform(0, 2 * np.pi, size=n)
+    rad = np.sqrt(rng.uniform(0, 1, size=n))
+    x = cx + rad * shrink * (w / 2) * np.cos(ang)
+    y = cy + rad * shrink * (l / 2) * np.sin(ang)
+    return np.stack([x, y, zz], 1) + rng.normal(0, 0.015, size=(n, 3))
+
+
+def v2_facade_points(rng, n_per_m2=55):
+    """A building wall: a vertical plane segment at street distance."""
+    r0 = rng.uniform(6.0, 55.0)
+    a0 = rng.uniform(0, 2 * np.pi)
+    x0, y0 = r0 * np.cos(a0), r0 * np.sin(a0)
+    length = rng.uniform(8.0, 40.0)
+    height = rng.uniform(3.0, 9.0)
+    yaw = a0 + np.pi / 2 + rng.normal(0, 0.3)  # roughly street-aligned
+    n = int(np.clip(length * height * n_per_m2 / max(r0, 1.0), 300, 6000))
+    u = rng.uniform(-0.5, 0.5, size=n) * length
+    zz = rng.uniform(0, height, size=n) - SENSOR_H
+    x = x0 + u * np.cos(yaw)
+    y = y0 + u * np.sin(yaw)
+    return np.stack([x, y, zz], 1) + rng.normal(0, 0.03, size=(n, 3))
+
+
+def v2_foliage_points(rng):
+    """Tree: trunk cylinder + canopy ellipsoid blob."""
+    r0 = rng.uniform(3.0, 45.0)
+    a0 = rng.uniform(0, 2 * np.pi)
+    cx, cy = r0 * np.cos(a0), r0 * np.sin(a0)
+    trunk_h = rng.uniform(1.5, 4.0)
+    n_t = 80
+    trunk = np.stack(
+        [
+            cx + rng.normal(0, 0.12, n_t),
+            cy + rng.normal(0, 0.12, n_t),
+            rng.uniform(-SENSOR_H, -SENSOR_H + trunk_h, n_t),
+        ],
+        1,
+    )
+    rad = rng.uniform(1.0, 3.0)
+    n_c = int(np.clip(9000 * rad / max(r0, 1.0), 150, 2500))
+    v = rng.normal(size=(n_c, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    v *= rng.uniform(0.4, 1.0, size=(n_c, 1)) ** (1 / 3) * rad
+    canopy = v * np.array([1.0, 1.0, 0.8]) + np.array(
+        [cx, cy, -SENSOR_H + trunk_h + 0.6 * rad]
+    )
+    return np.concatenate([trunk, canopy])
+
+
+def v2_pole_points(rng):
+    r0 = rng.uniform(2.0, 35.0)
+    a0 = rng.uniform(0, 2 * np.pi)
+    cx, cy = r0 * np.cos(a0), r0 * np.sin(a0)
+    hh = rng.uniform(2.0, 6.0)
+    n = int(np.clip(1200 * hh / max(r0, 1.0), 40, 600))
+    return np.stack(
+        [
+            cx + rng.normal(0, 0.04, n),
+            cy + rng.normal(0, 0.04, n),
+            rng.uniform(-SENSOR_H, -SENSOR_H + hh, n),
+        ],
+        1,
+    )
+
+
+def v2_depth_map_resample(rng, obj_pts):
+    """Rasterize candidate surface points + analytic ground into a
+    (64 x V2_N_AZ) nearest-return depth map, then emit one point per
+    hit bin — single-return LiDAR semantics (occlusion included)."""
+    rmap = np.full((64, V2_N_AZ), np.inf, np.float64)
+    # Analytic ground baseline per beam (flat road with mild noise).
+    ground_r = np.full(64, np.inf)
+    neg = V2_BEAM_ELEV < np.deg2rad(-1.0)
+    ground_r[neg] = SENSOR_H / np.sin(-V2_BEAM_ELEV[neg])
+    ground_r[ground_r > V2_MAX_RANGE] = np.inf
+    rmap[:] = ground_r[:, None]
+    if len(obj_pts):
+        p = np.asarray(obj_pts, np.float64)
+        r3 = np.linalg.norm(p, axis=1)
+        ok = (r3 > 1.5) & (r3 < V2_MAX_RANGE)
+        p, r3 = p[ok], r3[ok]
+        elev = np.arcsin(np.clip(p[:, 2] / r3, -1, 1))
+        beam_f = (
+            (elev - V2_BEAM_ELEV[0])
+            / (V2_BEAM_ELEV[-1] - V2_BEAM_ELEV[0])
+            * 63.0
+        )
+        beam = np.rint(beam_f).astype(np.int64)
+        # a return needs to actually lie on a beam: reject > 0.45 beam
+        # spacings off-axis (between-beam surfaces are never sampled)
+        hit = (np.abs(beam_f - beam) <= 0.45) & (beam >= 0) & (beam <= 63)
+        az = np.mod(np.arctan2(p[:, 1], p[:, 0]), 2 * np.pi)
+        azb = np.minimum((az / (2 * np.pi) * V2_N_AZ).astype(np.int64),
+                         V2_N_AZ - 1)
+        np.minimum.at(rmap, (beam[hit], azb[hit]), r3[hit])
+    # back to points: one return per finite bin, with range noise and
+    # per-return dropout (missing returns are universal on real rigs)
+    beam_i, az_i = np.nonzero(np.isfinite(rmap))
+    r = rmap[beam_i, az_i]
+    r = r * (1 + rng.normal(0, 0.004, size=r.shape))
+    keep = rng.random(len(r)) >= 0.12
+    beam_i, az_i, r = beam_i[keep], az_i[keep], r[keep]
+    e = V2_BEAM_ELEV[beam_i]
+    a = (az_i + 0.5) / V2_N_AZ * 2 * np.pi + rng.normal(
+        0, 0.0005, size=r.shape
+    )
+    x = r * np.cos(e) * np.cos(a)
+    y = r * np.cos(e) * np.sin(a)
+    z = r * np.sin(e)
+    return np.stack([x, y, z], 1)
+
+
+def synth_scan_v2(rng, V2C, R0):
+    obj = []
+    labels = []
+    for _ in range(int(rng.integers(1, 7))):
+        r = rng.uniform(3.0, 19.0)
+        a = rng.uniform(0, 2 * np.pi)
+        cx, cy = r * np.cos(a), r * np.sin(a)
+        h, w, l = (rng.uniform(1.6, 1.9), rng.uniform(0.5, 0.7),
+                   rng.uniform(0.5, 0.7))
+        yaw = rng.uniform(-np.pi, np.pi)
+        n = _v2_candidates_per_range(r, 60000, 150, 3000)
+        obj.append(v2_ped_points(rng, cx, cy, h, w, l, n))
+        labels.append(("Pedestrian", cx, cy, -SENSOR_H + h / 2, h, w, l, yaw))
+    for _ in range(int(rng.integers(1, 9))):  # streets have parked cars
+        r = rng.uniform(4.0, 45.0)
+        a = rng.uniform(0, 2 * np.pi)
+        cx, cy = r * np.cos(a), r * np.sin(a)
+        h, w, l = rng.uniform(1.4, 1.7), rng.uniform(1.6, 1.9), rng.uniform(3.6, 4.6)
+        cz = -SENSOR_H + h / 2
+        yaw = rng.uniform(-np.pi, np.pi)
+        n = _v2_candidates_per_range(r, 400000, 300, 8000)
+        obj.append(box_surface_points(rng, cx, cy, cz, h, w, l, yaw, n))
+        labels.append(("Car", cx, cy, cz, h, w, l, yaw))
+    for _ in range(int(rng.integers(1, 5))):
+        obj.append(v2_facade_points(rng))
+    for _ in range(int(rng.integers(1, 6))):
+        obj.append(v2_foliage_points(rng))
+    for _ in range(int(rng.integers(2, 8))):
+        obj.append(v2_pole_points(rng))
+    xyz = v2_depth_map_resample(
+        rng, np.concatenate(obj) if obj else np.zeros((0, 3))
+    ).astype(np.float32)
+    rng.shuffle(xyz, axis=0)
+    intensity = rng.uniform(0, 1, size=(len(xyz), 1)).astype(np.float32)
+    scan = np.concatenate([xyz, intensity], 1)
+    lines = [
+        lidar_box_to_camera_label(c, x, y, z, h, w, l, yw, V2C, R0)
+        for (c, x, y, z, h, w, l, yw) in labels
+    ]
+    return scan, lines
+
+
 def synth_scan(rng, V2C, R0):
     pts = [ground_points(rng)]
     labels = []
@@ -164,6 +347,11 @@ def main():
     ap.add_argument("--out", default=os.path.join("runs", "synth_kitti"))
     ap.add_argument("--seed", type=int, default=20260817)
     ap.add_argument("--val_fraction", type=float, default=0.1)
+    ap.add_argument("--realism", default="v1", choices=("v1", "v2"),
+                    help="v1 = independent point soups (the committed "
+                         "dress-rehearsal/synthgen-run-1 provenance); "
+                         "v2 = single-return depth-map synthesis with "
+                         "occlusion, facades, foliage")
     args = ap.parse_args()
 
     from distropointclouds_tpu.geometry.calib import mean_calibration
@@ -175,9 +363,10 @@ def main():
         os.makedirs(os.path.join(args.out, "training", sub), exist_ok=True)
     os.makedirs(os.path.join(args.out, "ImageSets"), exist_ok=True)
 
+    gen = synth_scan_v2 if args.realism == "v2" else synth_scan
     n_pts = []
     for sid in range(args.num):
-        scan, lines = synth_scan(rng, V2C, R0)
+        scan, lines = gen(rng, V2C, R0)
         scan.tofile(os.path.join(args.out, "training", "velodyne", f"{sid:06d}.bin"))
         with open(os.path.join(args.out, "training", "label_2", f"{sid:06d}.txt"), "w") as f:
             f.write("\n".join(lines) + ("\n" if lines else ""))

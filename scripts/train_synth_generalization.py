@@ -50,8 +50,13 @@ if os.environ.get("JAX_PLATFORMS"):
 NUM = int(os.environ.get("DPC_SG_NUM", "300"))
 EPOCHS = int(os.environ.get("DPC_SG_EPOCHS", "240"))
 EVAL_EVERY = int(os.environ.get("DPC_SG_EVAL_EVERY", "10"))
-KITTI = os.path.join(REPO, "runs", "synthgen_kitti")
-CKPT_DIR = os.path.join(REPO, "runs", "detector_ckpt_synthgen")
+# DPC_SG_REALISM=v1 (run 1's point-soup provenance) | v2 (single-return
+# depth-map synthesis: occlusion, facades, foliage — scripts/synth_kitti.py).
+# Separate dataset + checkpoint dirs keep both runs' artifacts intact.
+REALISM = os.environ.get("DPC_SG_REALISM", "v1")
+_SFX = "" if REALISM == "v1" else f"_{REALISM}"
+KITTI = os.path.join(REPO, "runs", f"synthgen_kitti{_SFX}")
+CKPT_DIR = os.path.join(REPO, "runs", f"detector_ckpt_synthgen{_SFX}")
 
 
 def build_synthetic_dataset() -> str:
@@ -69,7 +74,7 @@ def build_synthetic_dataset() -> str:
     env["JAX_PLATFORMS"] = "cpu"  # pure-host steps; never touch the tunnel
     subprocess.run(
         [sys.executable, "scripts/synth_kitti.py", "--num", str(NUM),
-         "--out", KITTI, "--seed", "20260818"],
+         "--out", KITTI, "--seed", "20260818", "--realism", REALISM],
         check=True, cwd=REPO, env=env, timeout=2400,
     )
     subprocess.run(
@@ -115,7 +120,10 @@ def main():
         resume=os.environ.get("DPC_SG_RESUME") == "1",
     )
     train_s = time.time() - t0
-    print(f"train wall: {train_s:.0f}s; synthetic-val metrics: {final}")
+    # `final` is fit()'s TEST-split metrics and the test split here is
+    # empty by design (the goldens are the test set, evaluated below);
+    # the synthetic-val metrics live in best.meta.json.
+    print(f"train wall: {train_s:.0f}s")
 
     # --- Golden-scan test: end-to-end pipeline on real KITTI scans the
     # model has never seen in any form.
