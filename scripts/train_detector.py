@@ -45,7 +45,13 @@ _VAL = int(os.environ.get("DPC_DET_VAL", VAL_ID))
 # inference — tiny_sc_ped.py semantics; the reference's own shipped
 # trainer-A checkpoint detects nothing, SURVEY §6)
 TRAINER = os.environ.get("DPC_DET_TRAINER", "b")
+# DPC_DET_MIX_SYNTH=<scan_context dir>: mix an at-scale synthetic corpus
+# (e.g. runs/synthgen_kitti_v2/training/scan_context) into the fold's
+# training set. The held-out golden scan stays the only val sample.
+MIX_SYNTH = os.environ.get("DPC_DET_MIX_SYNTH", "")
 _SUFFIX = "" if TRAINER == "b" else f"_{TRAINER}"
+if MIX_SYNTH:
+    _SUFFIX += "_mix"
 CKPT_DIR = os.path.join(REPO, "runs", f"detector_ckpt{_SUFFIX}_{_VAL:06d}")
 EPOCHS = int(os.environ.get("DPC_DET_EPOCHS", "240" if TRAINER == "b" else "120"))
 EVAL_EVERY = int(os.environ.get("DPC_DET_EVAL_EVERY", "10"))
@@ -199,6 +205,30 @@ def augment_dataset(exclude: str = "002160"):
     print(f"wrote {N_SYNTH} augmented samples")
 
 
+def mix_synthetic(src: str):
+    """Copy an external scan_context corpus into DATA_DIR under the
+    7xxxxx id range (goldens keep their KITTI ids, descriptor-space
+    rolls live at 8xxxxx). Training-set-only by construction: the val
+    index below selects the held-out golden id."""
+    import glob as _glob
+
+    for stale in _glob.glob(os.path.join(DATA_DIR, "*_7?????.npy")):
+        os.remove(stale)
+    for stale in _glob.glob(os.path.join(DATA_DIR, "*_7?????.json")):
+        os.remove(stale)
+    n = 0
+    for f in sorted(_glob.glob(os.path.join(src, "sc_*.npy"))):
+        sid = os.path.basename(f)[3:-4]
+        ped = os.path.join(src, f"pedestrians_{sid}.json")
+        if not os.path.exists(ped):
+            continue
+        nid = 700000 + n
+        shutil.copy(f, os.path.join(DATA_DIR, f"sc_{nid:06d}.npy"))
+        shutil.copy(ped, os.path.join(DATA_DIR, f"pedestrians_{nid:06d}.json"))
+        n += 1
+    print(f"mixed in {n} synthetic samples from {src}")
+
+
 def main():
     from distropointclouds_tpu.core.config import TrainConfig
     from distropointclouds_tpu.train.data import load_scan_context_dir
@@ -207,6 +237,8 @@ def main():
     val_id = _VAL
     assemble_dataset()
     augment_dataset(exclude=f"{val_id:06d}")
+    if MIX_SYNTH:
+        mix_synthetic(MIX_SYNTH)
     data = load_scan_context_dir(DATA_DIR)
     print("samples:", len(data), "val:", val_id)
     val_idx = np.asarray([data.ids.index(val_id)])
