@@ -48,13 +48,15 @@ def main():
     from distropointclouds_tpu.train import metrics as M
     from distropointclouds_tpu.train.checkpoint import CheckpointManager
 
-    # Trainer-B (TinyUNet) folds only: detector_ckpt_<6 digits>.
+    # Trainer-B (TinyUNet) folds only: detector_ckpt_<6 digits>, plus
+    # the synthetic-corpus-mixed variants detector_ckpt_mix_<6 digits>
+    # (same architecture, trained with DPC_DET_MIX_SYNTH).
     # detector_ckpt_c_* are sc_unet and detector_ckpt_a_* are tiny_cnn
     # checkpoints — restoring either into the tiny_unet pipeline would
     # fail on the flax param-structure mismatch.
     folds = sorted(
         d for d in os.listdir(os.path.join(REPO, "runs"))
-        if re.fullmatch(r"detector_ckpt_\d{6}", d)
+        if re.fullmatch(r"detector_ckpt_(?:mix_)?\d{6}", d)
     )
     cfg = PipelineConfig(
         normalize="clip",
