@@ -378,6 +378,23 @@ def wait_for_device(deadline_s: float) -> bool:
         time.sleep(min(60.0, max(1.0, deadline_s - (time.perf_counter() - t0))))
 
 
+REPEATS = int(os.environ.get("DPC_BENCH_REPEATS", "3"))
+
+
+def med3(vals):
+    """(median, [min, max]) over the in-session repeats — the
+    repeatability envelope (r4 VERDICT weak #7: point estimates could
+    not distinguish a 5% regression from tunnel day-noise)."""
+    v = sorted(vals)
+    return v[len(v) // 2], [round(v[0], 1), round(v[-1], 1)]
+
+
+def repeat(fn, n=REPEATS):
+    """Run a regime n times in-session; compile caches make repeats
+    nearly free, so the envelope costs only the timed windows."""
+    return [fn() for _ in range(n)]
+
+
 def main():
     from distropointclouds_tpu.core.config import PipelineConfig
 
@@ -406,38 +423,47 @@ def main():
     cfg = PipelineConfig()
     extra = {}
 
-    value, loop_sps = regime_a(cfg)
+    runs_a = repeat(lambda: regime_a(cfg))
+    value, extra["value_minmax"] = med3([v for v, _ in runs_a])
+    loop_sps, extra["dispatch_loop_minmax"] = med3([l for _, l in runs_a])
     extra["dispatch_loop_scans_per_sec"] = round(loop_sps, 1)
+    extra["repeats"] = REPEATS
 
     if "b" in REGIMES:
         try:
-            det_sps, n_det = regime_b(cfg)
+            runs_b = repeat(lambda: regime_b(cfg))
+            det_sps, extra["detecting_minmax"] = med3([v for v, _ in runs_b])
             extra["detecting_scans_per_sec"] = round(det_sps, 1)
-            extra["detecting_dets_per_batch"] = n_det
+            extra["detecting_dets_per_batch"] = runs_b[0][1]
         except Exception as e:  # keep the headline robust
             extra["detecting_error"] = str(e)[:200]
     if "c" in REGIMES:
         try:
-            serve_sps, n_served = regime_c(cfg)
+            runs_c = repeat(lambda: regime_c(cfg))
+            serve_sps, extra["serving_minmax"] = med3([v for v, _ in runs_c])
             extra["serving_scans_per_sec"] = round(serve_sps, 1)
-            extra["serving_scans"] = n_served
+            extra["serving_scans"] = runs_c[0][1]
         except Exception as e:
             extra["serving_error"] = str(e)[:200]
     if "fast" in REGIMES:
         try:
-            extra["fast_scans_per_sec"] = round(regime_fast(), 1)
+            sps, extra["fast_minmax"] = med3(repeat(regime_fast))
+            extra["fast_scans_per_sec"] = round(sps, 1)
         except Exception as e:
             extra["fast_error"] = str(e)[:200]
     if "fast2" in REGIMES:
         try:
-            extra["fast_stride2_scans_per_sec"] = round(regime_fast(2), 1)
+            sps, extra["fast_stride2_minmax"] = med3(
+                repeat(lambda: regime_fast(2))
+            )
+            extra["fast_stride2_scans_per_sec"] = round(sps, 1)
         except Exception as e:
             extra["fast_stride2_error"] = str(e)[:200]
 
     print(
         json.dumps(
             {
-                "metric": "scans/sec/chip end-to-end (decode->SC->TinyCNN->detect), steady-state device throughput, descriptor parity vs sc_*.npy verified; extra keys bracket dispatch-loop/detecting/serving/fast regimes",
+                "metric": "scans/sec/chip end-to-end (decode->SC->TinyCNN->detect), steady-state device throughput, descriptor parity vs sc_*.npy verified; extra keys bracket dispatch-loop/detecting/serving/fast regimes; every key is the median of `repeats` in-session runs with a *_minmax envelope",
                 "value": round(value, 1),
                 "unit": "scans/sec/chip",
                 "vs_baseline": round(

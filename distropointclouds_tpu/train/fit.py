@@ -46,6 +46,7 @@ def fit(
     vis_dir: Optional[str] = None,
     split: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]] = None,
     eval_every: int = 1,
+    track_test: bool = False,
 ) -> Tuple[TrainState, Dict[str, float]]:
     """Train per the given TrainConfig; returns (best_state, final metrics).
 
@@ -53,6 +54,17 @@ def fit(
     (train_sc_ped.py:536: best.pt on F1), pixel IoU otherwise
     (tiny_sc_ped.py:262, tiny_sc_pred_v2 uses F1 over pixels — we use
     IoU for tiny_cnn and pixel F1 for sc_unet).
+
+    Selection (val split) and reporting (test split) are decoupled, the
+    reference's own protocol (train_sc_ped.py:491-492,544-548: best.pt
+    by *val* F1, final report on a separate *test* split): the best
+    checkpoint is picked on ``va_idx`` only, and the returned final
+    metrics come from ``te_idx`` at that fixed checkpoint. With
+    ``track_test=True`` the test split is ALSO evaluated on every eval
+    epoch — logged as ``test_*`` and summarized as
+    ``test_f1_biased_max`` (the max-over-epochs number an eval-set
+    selection would have reported; kept on record as the explicitly
+    labeled optimistic upper bound, never used for selection).
 
     eval_every: run the validation pass (which includes the host-bound
     greedy center matcher) every N epochs instead of every epoch; the
@@ -124,10 +136,26 @@ def fit(
     ckpt = CheckpointManager(cfg.ckpt_dir)
     start_epoch = 1
     best_metric = -np.inf
+    resumed_best_state = None
+    resumed_biased: Dict[str, float] = {}
+    resumed_best_epoch = 0
     if resume and ckpt.has("last"):
         state, meta = ckpt.restore("last", state)
         start_epoch = meta.get("epoch", 0) + 1
         best_metric = meta.get("metrics", {}).get("best_metric", -np.inf)
+        # tbm_-prefixed flat floats: CheckpointManager meta coerces
+        # every value through float(), so the tracker is stored flat.
+        resumed_biased = {
+            k[len("tbm_"):]: v
+            for k, v in meta.get("metrics", {}).items()
+            if k.startswith("tbm_")
+        }
+        if ckpt.has("best"):
+            # The pre-stall best checkpoint must stay the reporting
+            # state until an evaluated epoch beats it — resuming with
+            # best_state = last silently reported the stall point.
+            resumed_best_state, best_meta = ckpt.restore("best", state)
+            resumed_best_epoch = best_meta.get("epoch", 0)
 
     host_rng = np.random.default_rng(cfg.seed)
     log_f = open(log_path, "a") if log_path else None
@@ -261,7 +289,9 @@ def fit(
         return state, out
 
     patience_left = cfg.early_stop_patience or np.inf
-    best_state = state
+    best_state = resumed_best_state if resumed_best_state is not None else state
+    best_epoch = resumed_best_epoch
+    test_biased_max: Dict[str, float] = resumed_biased
     history: Dict[str, List[float]] = {}
     for epoch in range(start_epoch, cfg.epochs + 1):
         t0 = time.time()
@@ -281,11 +311,20 @@ def fit(
         do_eval = (epoch % max(1, eval_every) == 0) or epoch == cfg.epochs
         val = run_eval(va_idx, epoch) if do_eval else {}
         sel = val.get("f1" if cfg.model != "tiny_cnn" else "iou", 0.0)
+        test_now: Dict[str, float] = {}
+        if do_eval and track_test and len(te_idx):
+            # Per-epoch held-out tracking: logged, never selected on.
+            test_now = run_eval(te_idx)
+            sel_key = "f1" if cfg.model != "tiny_cnn" else "iou"
+            if test_now.get(sel_key, 0.0) >= test_biased_max.get(sel_key, -1.0):
+                test_biased_max = dict(test_now)
+                test_biased_max["epoch"] = epoch
         rec = {
             "epoch": epoch,
             "train_loss": train_loss,
             "time_s": round(time.time() - t0, 2),
             **{f"val_{k}": v for k, v in val.items()},
+            **{f"test_{k}": v for k, v in test_now.items()},
         }
         log(rec)
         for k, v in rec.items():
@@ -296,11 +335,18 @@ def fit(
             + " ".join(f"val_{k}={v:.4f}" for k, v in val.items())
         )
 
-        ckpt.save("last", state, epoch, {**val, "best_metric": best_metric})
+        ckpt.save(
+            "last",
+            state,
+            epoch,
+            {**val, "best_metric": best_metric,
+             **{f"tbm_{k}": float(v) for k, v in test_biased_max.items()}},
+        )
         if do_eval:
             if sel > best_metric:
                 best_metric = sel
                 best_state = state
+                best_epoch = epoch
                 ckpt.save(
                     "best", state, epoch, {**val, "best_metric": best_metric}
                 )
@@ -315,6 +361,13 @@ def fit(
     if len(te_idx):
         state = best_state
         final = {f"test_{k}": v for k, v in run_eval(te_idx).items()}
+        final["best_epoch"] = best_epoch
+        if track_test and test_biased_max:
+            # The number the old (biased) protocol would have headlined:
+            # max over evaluated epochs of the test metric itself.
+            sel_key = "f1" if cfg.model != "tiny_cnn" else "iou"
+            final[f"test_{sel_key}_biased_max"] = test_biased_max.get(sel_key, 0.0)
+            final["test_biased_max_epoch"] = test_biased_max.get("epoch", 0)
         log({"final": final})
         print("test:", final)
     if log_f:

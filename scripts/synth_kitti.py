@@ -248,6 +248,13 @@ def v2_depth_map_resample(rng, obj_pts):
 
 
 def synth_scan_v2(rng, V2C, R0):
+    return _synth_scan_v2_parts(rng, V2C, R0)
+
+
+def _synth_scan_v2_parts(rng, V2C, R0, extra=None):
+    """The v2 scene composition; ``extra`` appends additional candidate
+    surface groups (v3's unlabeled distractors) before the depth-map
+    resample, so occlusion applies across ALL content uniformly."""
     obj = []
     labels = []
     for _ in range(int(rng.integers(1, 7))):
@@ -276,6 +283,8 @@ def synth_scan_v2(rng, V2C, R0):
         obj.append(v2_foliage_points(rng))
     for _ in range(int(rng.integers(2, 8))):
         obj.append(v2_pole_points(rng))
+    if extra:
+        obj.extend(extra)
     xyz = v2_depth_map_resample(
         rng, np.concatenate(obj) if obj else np.zeros((0, 3))
     ).astype(np.float32)
@@ -287,6 +296,120 @@ def synth_scan_v2(rng, V2C, R0):
         for (c, x, y, z, h, w, l, yw) in labels
     ]
     return scan, lines
+
+
+# --- v3 realism: pedestrian-scale hard negatives ---------------------
+#
+# Measured FP attribution of the v2 checkpoint on the golden scans
+# (runs/fp_attribution_synthgen_v2.json, scripts/attribute_fps.py):
+# ZERO tall-structure false positives — v2's facades/foliage/poles are
+# learned — but 24 mid_surface (z_max in [-0.5, 0.8): car-height
+# surfaces and pedestrian-sized street furniture) and 19 low_clutter
+# (z_max < -0.5: ground-level blobs), concentrated in the near/mid
+# bands. v2 scenes contain NO unlabeled pedestrian-scale vertical
+# objects, so the model never learns to reject them. v3 adds exactly
+# that class of generic street furniture (nothing fitted to the
+# goldens): bins/bollards/hydrants (ped-sized verticals), low bushes /
+# hedges, curb ridges, and low fences/railings — all unlabeled, all
+# resampled through the same single-return depth map.
+def v3_bin_points(rng):
+    """Trash bin / bollard / hydrant: a pedestrian-SIZED vertical
+    cylinder inside the descriptor range — the canonical ped-detector
+    hard negative."""
+    r0 = rng.uniform(2.0, 19.0)
+    a0 = rng.uniform(0, 2 * np.pi)
+    cx, cy = r0 * np.cos(a0), r0 * np.sin(a0)
+    hh = rng.uniform(0.5, 1.4)
+    rad = rng.uniform(0.15, 0.45)
+    n = int(np.clip(4000 * hh * rad / max(r0, 1.0), 60, 1200))
+    ang = rng.uniform(0, 2 * np.pi, size=n)
+    rr = rad * np.sqrt(rng.uniform(0.7, 1.0, size=n))  # mostly shell
+    return np.stack(
+        [
+            cx + rr * np.cos(ang),
+            cy + rr * np.sin(ang),
+            rng.uniform(-SENSOR_H, -SENSOR_H + hh, n),
+        ],
+        1,
+    ) + rng.normal(0, 0.015, size=(n, 3))
+
+
+def v3_bush_points(rng):
+    """Low bush / hedge: irregular blob 0.3-1.2 m tall — the mid/low
+    clutter class real streets are full of."""
+    r0 = rng.uniform(2.0, 25.0)
+    a0 = rng.uniform(0, 2 * np.pi)
+    cx, cy = r0 * np.cos(a0), r0 * np.sin(a0)
+    hh = rng.uniform(0.3, 1.2)
+    rad = rng.uniform(0.4, 1.8)
+    n = int(np.clip(3500 * rad * hh / max(r0, 1.0), 80, 1500))
+    v = rng.normal(size=(n, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    v *= rng.uniform(0.3, 1.0, size=(n, 1)) ** (1 / 3)
+    pts = v * np.array([rad, rad, hh / 2]) + np.array(
+        [cx, cy, -SENSOR_H + hh / 2]
+    )
+    return pts + rng.normal(0, 0.04, size=pts.shape)
+
+
+def v3_curb_points(rng):
+    """Curb ridge: a long, thin, ground-level step (z ~ 0.10-0.25 m)."""
+    r0 = rng.uniform(2.0, 30.0)
+    a0 = rng.uniform(0, 2 * np.pi)
+    x0, y0 = r0 * np.cos(a0), r0 * np.sin(a0)
+    length = rng.uniform(5.0, 30.0)
+    hh = rng.uniform(0.10, 0.25)
+    yaw = a0 + np.pi / 2 + rng.normal(0, 0.25)
+    n = int(np.clip(length * 500 / max(r0, 1.0), 100, 2500))
+    u = rng.uniform(-0.5, 0.5, size=n) * length
+    return np.stack(
+        [
+            x0 + u * np.cos(yaw) + rng.normal(0, 0.03, n),
+            y0 + u * np.sin(yaw) + rng.normal(0, 0.03, n),
+            -SENSOR_H + rng.uniform(0, hh, n),
+        ],
+        1,
+    )
+
+
+def v3_fence_points(rng):
+    """Low fence / railing: a 0.7-1.2 m vertical strip, longer than any
+    pedestrian — teaches the footprint prior."""
+    r0 = rng.uniform(3.0, 28.0)
+    a0 = rng.uniform(0, 2 * np.pi)
+    x0, y0 = r0 * np.cos(a0), r0 * np.sin(a0)
+    length = rng.uniform(3.0, 18.0)
+    hh = rng.uniform(0.7, 1.2)
+    yaw = a0 + np.pi / 2 + rng.normal(0, 0.3)
+    n = int(np.clip(length * hh * 900 / max(r0, 1.0), 80, 2200))
+    u = rng.uniform(-0.5, 0.5, size=n) * length
+    return np.stack(
+        [
+            x0 + u * np.cos(yaw) + rng.normal(0, 0.02, n),
+            y0 + u * np.sin(yaw) + rng.normal(0, 0.02, n),
+            rng.uniform(-SENSOR_H, -SENSOR_H + hh, n),
+        ],
+        1,
+    )
+
+
+def synth_scan_v3(rng, V2C, R0):
+    """v2 scene content + the measured-FP distractor classes."""
+    scan, lines = _synth_scan_v2_parts(rng, V2C, R0, extra=_v3_extras(rng))
+    return scan, lines
+
+
+def _v3_extras(rng):
+    extra = []
+    for _ in range(int(rng.integers(3, 11))):
+        extra.append(v3_bin_points(rng))
+    for _ in range(int(rng.integers(2, 9))):
+        extra.append(v3_bush_points(rng))
+    for _ in range(int(rng.integers(1, 5))):
+        extra.append(v3_curb_points(rng))
+    for _ in range(int(rng.integers(0, 4))):
+        extra.append(v3_fence_points(rng))
+    return extra
 
 
 def synth_scan(rng, V2C, R0):
@@ -347,11 +470,14 @@ def main():
     ap.add_argument("--out", default=os.path.join("runs", "synth_kitti"))
     ap.add_argument("--seed", type=int, default=20260817)
     ap.add_argument("--val_fraction", type=float, default=0.1)
-    ap.add_argument("--realism", default="v1", choices=("v1", "v2"),
+    ap.add_argument("--realism", default="v1", choices=("v1", "v2", "v3"),
                     help="v1 = independent point soups (the committed "
                          "dress-rehearsal/synthgen-run-1 provenance); "
                          "v2 = single-return depth-map synthesis with "
-                         "occlusion, facades, foliage")
+                         "occlusion, facades, foliage; v3 = v2 plus the "
+                         "measured-FP distractor classes (bins/bollards, "
+                         "bushes, curbs, fences — see "
+                         "runs/fp_attribution_synthgen_v2.json)")
     args = ap.parse_args()
 
     from distropointclouds_tpu.geometry.calib import mean_calibration
@@ -363,7 +489,8 @@ def main():
         os.makedirs(os.path.join(args.out, "training", sub), exist_ok=True)
     os.makedirs(os.path.join(args.out, "ImageSets"), exist_ok=True)
 
-    gen = synth_scan_v2 if args.realism == "v2" else synth_scan
+    gen = {"v1": synth_scan, "v2": synth_scan_v2,
+           "v3": synth_scan_v3}[args.realism]
     n_pts = []
     for sid in range(args.num):
         scan, lines = gen(rng, V2C, R0)

@@ -9,9 +9,21 @@ produces the first checkpoint in either repo with nonzero detections:
    unlabeled sample_data/999999.bin as a pure-background sample.
 2. Train trainer B (TinyUNet center-heatmap, full-width sector-roll
    augmentation — train_sc_ped.py semantics) holding out golden scan
-   002160 ENTIRELY for validation.
+   002160 ENTIRELY as the TEST scan.
 3. Report held-out center-matching P/R/F1 and run the end-to-end
    detect pipeline on 000840 + the held-out 002160.
+
+Evaluation protocol (r5, matching the reference's own
+train_sc_ped.py:491-492,544-548 — best.pt by *val* metric, final
+report on a *separate* test split): the checkpoint is selected by
+train-pooled F1 (the three golden TRAIN scans, which also sit in the
+training set — identical selection signal for base and mix folds, so
+mix-vs-base deltas stay clean), and the held-out scan's F1 is reported
+at that fixed checkpoint. The held-out scan is also evaluated each
+eval epoch and its max-over-epochs F1 is logged as
+``test_f1_biased_max`` — the number the pre-r5 protocol (selection on
+the reported scan) would have headlined, kept as an explicitly labeled
+optimistic upper bound.
 
 Run on the TPU (default backend): python scripts/train_detector.py
 """
@@ -52,7 +64,10 @@ MIX_SYNTH = os.environ.get("DPC_DET_MIX_SYNTH", "")
 _SUFFIX = "" if TRAINER == "b" else f"_{TRAINER}"
 if MIX_SYNTH:
     _SUFFIX += "_mix"
-CKPT_DIR = os.path.join(REPO, "runs", f"detector_ckpt{_SUFFIX}_{_VAL:06d}")
+CKPT_DIR = os.environ.get(
+    "DPC_DET_CKPT_DIR",
+    os.path.join(REPO, "runs", f"detector_ckpt{_SUFFIX}_{_VAL:06d}"),
+)
 EPOCHS = int(os.environ.get("DPC_DET_EPOCHS", "240" if TRAINER == "b" else "120"))
 EVAL_EVERY = int(os.environ.get("DPC_DET_EVAL_EVERY", "10"))
 # eval is host-bound greedy matching; running it every Nth epoch (final
@@ -205,6 +220,19 @@ def augment_dataset(exclude: str = "002160"):
     print(f"wrote {N_SYNTH} augmented samples")
 
 
+def clear_mixed():
+    """Remove the 7xxxxx id range. Must run for BASE folds too: a mix
+    fold leaves its copied corpus in the shared DATA_DIR, and a later
+    base run would silently train on it (caught in r5 by an index-count
+    check: 279 samples where a base fold expects 9)."""
+    import glob as _glob
+
+    for stale in _glob.glob(os.path.join(DATA_DIR, "*_7?????.npy")):
+        os.remove(stale)
+    for stale in _glob.glob(os.path.join(DATA_DIR, "*_7?????.json")):
+        os.remove(stale)
+
+
 def mix_synthetic(src: str):
     """Copy an external scan_context corpus into DATA_DIR under the
     7xxxxx id range (goldens keep their KITTI ids, descriptor-space
@@ -212,10 +240,7 @@ def mix_synthetic(src: str):
     index below selects the held-out golden id."""
     import glob as _glob
 
-    for stale in _glob.glob(os.path.join(DATA_DIR, "*_7?????.npy")):
-        os.remove(stale)
-    for stale in _glob.glob(os.path.join(DATA_DIR, "*_7?????.json")):
-        os.remove(stale)
+    clear_mixed()
     n = 0
     for f in sorted(_glob.glob(os.path.join(src, "sc_*.npy"))):
         sid = os.path.basename(f)[3:-4]
@@ -239,10 +264,19 @@ def main():
     augment_dataset(exclude=f"{val_id:06d}")
     if MIX_SYNTH:
         mix_synthetic(MIX_SYNTH)
+    else:
+        clear_mixed()
     data = load_scan_context_dir(DATA_DIR)
-    print("samples:", len(data), "val:", val_id)
-    val_idx = np.asarray([data.ids.index(val_id)])
-    tr_idx = np.asarray([i for i in range(len(data)) if i != val_idx[0]])
+    print("samples:", len(data), "held-out test:", val_id)
+    te_idx = np.asarray([data.ids.index(val_id)])
+    tr_idx = np.asarray([i for i in range(len(data)) if i != te_idx[0]])
+    # Selection set: the golden TRAIN scans (train-pooled F1). They sit
+    # in tr_idx too — selection on training data is unbiased w.r.t. the
+    # reported held-out scan.
+    golden_train = [
+        g for g in (840, 2073, 2095, 2160) if g != val_id
+    ]
+    val_idx = np.asarray([data.ids.index(g) for g in golden_train])
 
     if TRAINER == "b":
         cfg = dataclasses.replace(
@@ -297,9 +331,10 @@ def main():
         data,
         cfg,
         log_path=os.path.join(CKPT_DIR, "log.jsonl"),
-        split=(tr_idx, val_idx, np.asarray([], np.int64)),
+        split=(tr_idx, val_idx, te_idx),
         eval_threshold=0.35,
         eval_every=EVAL_EVERY,
+        track_test=True,
         # DPC_DET_RESUME=1 continues a fold interrupted by a tunnel
         # stall from its last checkpoint — safe because the synthetic
         # pool is seeded (default_rng(7)), so the rerun sees the
@@ -349,7 +384,7 @@ def main():
         fn = jax.jit(build_pipeline("sc_unet", pipe_cfg, postprocess="banded"))
     results = {}
     for sid in fixtures.GOLDEN_IDS:
-        role = "VAL" if int(sid) == val_id else "train"
+        role = "TEST" if int(sid) == val_id else "train"
         pb = PointBatch.from_numpy(
             fixtures.golden_scan(sid), pipe_cfg.scan_context.max_points
         )

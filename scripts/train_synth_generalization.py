@@ -51,8 +51,9 @@ NUM = int(os.environ.get("DPC_SG_NUM", "300"))
 EPOCHS = int(os.environ.get("DPC_SG_EPOCHS", "240"))
 EVAL_EVERY = int(os.environ.get("DPC_SG_EVAL_EVERY", "10"))
 # DPC_SG_REALISM=v1 (run 1's point-soup provenance) | v2 (single-return
-# depth-map synthesis: occlusion, facades, foliage — scripts/synth_kitti.py).
-# Separate dataset + checkpoint dirs keep both runs' artifacts intact.
+# depth-map synthesis: occlusion, facades, foliage) | v3 (v2 plus the
+# measured-FP distractor classes — scripts/synth_kitti.py).
+# Separate dataset + checkpoint dirs keep every run's artifacts intact.
 REALISM = os.environ.get("DPC_SG_REALISM", "v1")
 _SFX = "" if REALISM == "v1" else f"_{REALISM}"
 KITTI = os.path.join(REPO, "runs", f"synthgen_kitti{_SFX}")

@@ -124,3 +124,49 @@ def test_v2_end_to_end_label_factory(sk, tmp_path, monkeypatch):
         peds = json.load(open(sc_dir / f"pedestrians_{i:06d}.json"))
         assert peds and len(peds) % 2 == 0  # dual-source duplicates
         assert any(len(p.get("covered_cells", [])) >= 2 for p in peds)
+
+
+def test_v3_adds_unlabeled_distractors(sk):
+    """v3 = v2 scene content + the measured-FP distractor classes
+    (bins/bollards, bushes, curbs, fences — all UNLABELED): the scan
+    must keep the single-return contract, labels must stay only
+    Pedestrian/Car, and the distractor generators must emit points in
+    their documented height bands (the classes the v2 checkpoint's
+    false positives fall into, runs/fp_attribution_synthgen_v2.json)."""
+    from distropointclouds_tpu.geometry.calib import mean_calibration
+
+    V2C, R0, _ = (np.asarray(m, np.float64) for m in mean_calibration())
+    rng = np.random.default_rng(5)
+    scan, lines = sk.synth_scan_v3(rng, V2C, R0)
+    assert scan.dtype == np.float32 and scan.shape[1] == 4
+    assert lines and all(
+        l.split()[0] in ("Pedestrian", "Car") for l in lines
+    )
+    # single-return property holds with the extra content
+    p = scan[:, :3].astype(np.float64)
+    r3 = np.linalg.norm(p, axis=1)
+    elev = np.arcsin(np.clip(p[:, 2] / r3, -1, 1))
+    beam = np.rint(
+        (elev - sk.V2_BEAM_ELEV[0])
+        / (sk.V2_BEAM_ELEV[-1] - sk.V2_BEAM_ELEV[0]) * 63.0
+    ).astype(np.int64)
+    az = np.mod(np.arctan2(p[:, 1], p[:, 0]), 2 * np.pi)
+    azb = np.minimum(
+        (az / (2 * np.pi) * sk.V2_N_AZ).astype(np.int64), sk.V2_N_AZ - 1
+    )
+    assert len(set(zip(beam.tolist(), azb.tolist()))) / len(scan) > 0.98
+
+    # distractor height bands (sensor frame: ground at -1.73)
+    rng = np.random.default_rng(6)
+    for gen, zmax_lo, zmax_hi in (
+        (sk.v3_bin_points, -1.3, -0.2),    # 0.5-1.4 m tall verticals
+        (sk.v3_bush_points, -1.5, -0.4),   # 0.3-1.2 m blobs
+        (sk.v3_curb_points, -1.7, -1.4),   # 0.10-0.25 m ridges
+        (sk.v3_fence_points, -1.1, -0.4),  # 0.7-1.2 m rails
+    ):
+        pts = gen(rng)
+        assert len(pts) >= 40
+        z_top = float(pts[:, 2].max())
+        assert zmax_lo <= z_top <= zmax_hi + 0.2, (gen.__name__, z_top)
+        # all distractors stay pedestrian-scale or lower in height
+        assert z_top < 0.0

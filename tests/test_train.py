@@ -286,7 +286,7 @@ def test_fit_tiny_run_and_resume(tmp_path):
         data, cfg3, log_path=str(tmp_path / "log.jsonl"), resume=True
     )
     lines = open(tmp_path / "log.jsonl").read().strip().splitlines()
-    recs = [json.loads(l) for l in lines if "epoch" in l]
+    recs = [r for r in map(json.loads, lines) if "epoch" in r]
     assert recs[-1]["epoch"] == 3  # resumed at epoch 3, not 1
 
 
@@ -626,3 +626,53 @@ def test_loader_caps_num_cells_at_capacity(tmp_path):
     np.testing.assert_array_equal(
         data.cells[0, 0], np.asarray(big[:CELL_CAPACITY], np.int16)
     )
+
+
+def test_fit_decoupled_selection_and_biased_tracking(tmp_path):
+    """r5 evaluation protocol: selection (val split) and reporting
+    (test split) are decoupled, and with track_test=True the test
+    metric is logged per eval epoch with its max recorded as the
+    explicitly-labeled biased upper bound — matching the reference's
+    best-by-val / report-on-test protocol
+    (train_sc_ped.py:491-492,544-548)."""
+    from distropointclouds_tpu.train.data import load_scan_context_dir
+    from distropointclouds_tpu.train.fit import fit
+
+    d = make_synthetic_dataset(tmp_path / "data", n=8, H=32, W=96)
+    data = load_scan_context_dir(d)
+    data.sc = data.sc[:, :32, :96].copy()
+    cfg = TrainConfig(
+        model="tiny_cnn", height=32, width=96, batch_size=4,
+        epochs=4, normalize="minmax", roll_max=8,
+        ckpt_dir=str(tmp_path / "ckpt"),
+    )
+    tr = np.arange(6)
+    va = np.asarray([2, 3])  # selection overlaps train (train-pooled)
+    te = np.asarray([6, 7])
+    log = tmp_path / "log.jsonl"
+    _, final = fit(
+        data, cfg, log_path=str(log), split=(tr, va, te),
+        eval_every=2, track_test=True,
+    )
+    assert "test_iou" in final  # reported at the selected checkpoint
+    assert "test_iou_biased_max" in final
+    assert "best_epoch" in final and "test_biased_max_epoch" in final
+    # The biased max is, by construction, >= the unbiased number.
+    assert final["test_iou_biased_max"] >= final["test_iou"] - 1e-9
+    recs = [
+        json.loads(l) for l in open(log).read().strip().splitlines()
+        if "epoch" in l
+    ]
+    eval_epochs = [r for r in recs if "val_iou" in r]
+    assert eval_epochs and all("test_iou" in r for r in eval_epochs)
+    non_eval = [r for r in recs if "val_iou" not in r and "final" not in r]
+    assert all("test_iou" not in r for r in non_eval)
+
+    # Resume: the biased-max tracker and best checkpoint survive.
+    cfg6 = TrainConfig(**{**cfg.__dict__, "epochs": 6})
+    _, final2 = fit(
+        data, cfg6, log_path=str(log), split=(tr, va, te),
+        eval_every=2, track_test=True, resume=True,
+    )
+    assert final2["test_iou_biased_max"] >= final["test_iou_biased_max"] - 1e-9
+    assert final2["best_epoch"] >= final["best_epoch"]
