@@ -66,7 +66,9 @@ WARMUP = 3
 # throughput is the per-batch device time; more iters measure it more
 # faithfully, they don't flatter it.
 ITERS = int(os.environ.get("DPC_BENCH_ITERS", "60"))
-REGIMES = os.environ.get("DPC_BENCH_REGIMES", "a,b,c,fast,fast2").split(",")
+REGIMES = os.environ.get(
+    "DPC_BENCH_REGIMES", "a,b,fastdet,c,fast,fast2"
+).split(",")
 REPO = os.path.dirname(os.path.abspath(__file__))
 
 
@@ -292,6 +294,37 @@ def regime_c(cfg):
     return total / dt, total
 
 
+def regime_fast_detecting():
+    """Opt-in fast DETECTING regime: the packed 80x360 fast descriptor
+    feeding a half-res TinyUNet checkpoint (trained by
+    scripts/train_detector.py DPC_DET_FAST=1, accuracy-gated on
+    held-out F1 under the unbiased protocol — README), full components
+    path every batch. Targets the one bench regime (detecting) whose
+    full-res stem + u0 head run MXU-starved (runs/tiny_unet_levels.json:
+    62% of model time at 5-10 TFLOP/s)."""
+    import dataclasses
+
+    from distropointclouds_tpu.core.config import DetectorConfig, PipelineConfig
+    from distropointclouds_tpu.pipeline import jit_pipeline
+    from distropointclouds_tpu.train.checkpoint import CheckpointManager
+
+    ckpt = os.environ.get(
+        "DPC_BENCH_FASTDET_CKPT",
+        os.path.join(REPO, "runs", "detector_ckpt_fast_mix_002073"),
+    )
+    variables = CheckpointManager(ckpt).restore_variables("best")
+    cfg = PipelineConfig.fast(
+        normalize="clip",
+        detector=dataclasses.replace(DetectorConfig(), mask_threshold=0.35),
+    )
+    fn = jit_pipeline("tiny_unet", cfg, "components")
+    _, batch = build_batch(cfg, BATCH)
+    out = jax.block_until_ready(fn(variables, batch))
+    n_det = int(np.asarray(out["detections"].valid).sum())
+    assert n_det > 0, "fast detecting regime produced no detections"
+    return timed_scans_per_sec(fn, variables, batch), n_det
+
+
 def regime_fast(stride=1):
     """The opt-in non-parity fast profile, gated on its own documented
     accuracy contract: stride 1 — 80x360 == maxpool2x2 of golden up to
@@ -437,6 +470,16 @@ def main():
             extra["detecting_dets_per_batch"] = runs_b[0][1]
         except Exception as e:  # keep the headline robust
             extra["detecting_error"] = str(e)[:200]
+    if "fastdet" in REGIMES:
+        try:
+            runs_fd = repeat(regime_fast_detecting)
+            fd_sps, extra["detecting_fast_minmax"] = med3(
+                [v for v, _ in runs_fd]
+            )
+            extra["detecting_fast_scans_per_sec"] = round(fd_sps, 1)
+            extra["detecting_fast_dets_per_batch"] = runs_fd[0][1]
+        except Exception as e:
+            extra["detecting_fast_error"] = str(e)[:200]
     if "c" in REGIMES:
         try:
             runs_c = repeat(lambda: regime_c(cfg))

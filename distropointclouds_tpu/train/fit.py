@@ -237,7 +237,9 @@ def fit(
                         for j in range(valid.shape[1])
                         if valid[bi, j]
                     ]
-                    a, b, c = M.match_centers(preds, gts)
+                    # num_sector follows the training grid so sector
+                    # wrap stays correct on reduced-resolution grids.
+                    a, b, c = M.match_centers(preds, gts, num_sector=cfg.width)
                     tp, fp, fn = tp + a, fp + b, fn + c
             else:
                 pm = M.pixel_metrics(jnp.asarray(p), jnp.asarray(t))

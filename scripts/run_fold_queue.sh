@@ -17,6 +17,25 @@ QUEUE_FILE="${1:-}"
 LOG_DIR=runs/fold_queue_logs
 mkdir -p "$LOG_DIR"
 
+wait_for_tpu() {
+    # The axon tunnel sporadically stalls for stretches (CLAUDE.md; a
+    # 23-min outage ate the first r5 queue attempt). Probe in a
+    # SUBPROCESS (a failed in-process jax init is cached) and only
+    # launch training once the chip answers. Never counts as an attempt.
+    local waited=0
+    while true; do
+        if timeout 90 python -c "
+import jax, jax.numpy as jnp
+assert jax.default_backend() == 'tpu', jax.default_backend()
+print(float((jnp.ones((8, 128)) + 1).sum()))" >/dev/null 2>&1; then
+            return 0
+        fi
+        waited=$((waited + 1))
+        echo "tpu unreachable, waiting (probe $waited) $(date -u +%H:%M:%S)"
+        sleep 60
+    done
+}
+
 run_fold() {
     local val_id="$1" trainer="$2" mix="$3"
     shift 3
@@ -25,6 +44,7 @@ run_fold() {
     local log="$LOG_DIR/${name}.log"
     local attempts=0 resume=0
     while [ $attempts -lt 5 ]; do
+        wait_for_tpu | tee -a "$log"
         attempts=$((attempts + 1))
         echo "=== $name attempt $attempts (resume=$resume) $(date -u +%H:%M:%S) ===" | tee -a "$log"
         local env_args=(DPC_DET_VAL="$val_id" DPC_DET_TRAINER="$trainer"

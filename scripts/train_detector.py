@@ -59,9 +59,23 @@ _VAL = int(os.environ.get("DPC_DET_VAL", VAL_ID))
 TRAINER = os.environ.get("DPC_DET_TRAINER", "b")
 # DPC_DET_MIX_SYNTH=<scan_context dir>: mix an at-scale synthetic corpus
 # (e.g. runs/synthgen_kitti_v2/training/scan_context) into the fold's
-# training set. The held-out golden scan stays the only val sample.
+# training set. The held-out golden scan stays out of training entirely.
+# DPC_DET_MIX_N caps the number of mixed scans (corpus-scaling curve:
+# prefix subsets of one corpus isolate the size effect).
 MIX_SYNTH = os.environ.get("DPC_DET_MIX_SYNTH", "")
+MIX_N = int(os.environ.get("DPC_DET_MIX_N", "0"))  # 0 = all
+# DPC_DET_FAST=1: train TinyUNet on the 80x360 fast-profile grid
+# (PipelineConfig.fast()'s maxpool2x2-of-golden descriptor). The r4
+# level probe (runs/tiny_unet_levels.json) shows the full-res stem +
+# u0 head are 62% of model time at 5-10 TFLOP/s (MXU-starved 32-channel
+# convs at 160x720); halving the grid quarters exactly that work. The
+# detecting-fast bench regime pairs this checkpoint with the fast
+# descriptor; accuracy is gated on held-out F1 vs the matching
+# full-res fold under the same unbiased protocol.
+FAST = os.environ.get("DPC_DET_FAST") == "1"
 _SUFFIX = "" if TRAINER == "b" else f"_{TRAINER}"
+if FAST:
+    _SUFFIX += "_fast"
 if MIX_SYNTH:
     _SUFFIX += "_mix"
 CKPT_DIR = os.environ.get(
@@ -251,7 +265,30 @@ def mix_synthetic(src: str):
         shutil.copy(f, os.path.join(DATA_DIR, f"sc_{nid:06d}.npy"))
         shutil.copy(ped, os.path.join(DATA_DIR, f"pedestrians_{nid:06d}.json"))
         n += 1
+        if MIX_N and n >= MIX_N:
+            break
     print(f"mixed in {n} synthetic samples from {src}")
+
+
+def downsample_half(data):
+    """Half-res twin of the training set for the fast-profile grid:
+    maxpool2x2 descriptors (exactly the fast descriptor's cell contract,
+    ScanContextConfig.fast: bin edges align so each coarse cell is the
+    union of a 2x2 golden block) with halved center/cell indices.
+    Invalid cell rows stay -1 (-1 // 2 == -1 under floor division)."""
+    n = len(data)
+    sc = data.sc.reshape(n, 80, 2, 360, 2).max(axis=(2, 4))
+    cells = None if data.cells is None else (data.cells // 2).astype(np.int16)
+    return type(data)(
+        sc=sc.astype(np.float32),
+        centers=np.floor(data.centers / 2.0).astype(np.float32),
+        boxes=data.boxes,
+        distance=data.distance,
+        num_cells=data.num_cells,
+        ped_valid=data.ped_valid,
+        ids=data.ids,
+        cells=cells,
+    )
 
 
 def main():
@@ -278,6 +315,11 @@ def main():
     ]
     val_idx = np.asarray([data.ids.index(g) for g in golden_train])
 
+    if FAST:
+        if TRAINER != "b":
+            raise SystemExit("DPC_DET_FAST is trainer-B (TinyUNet) only")
+        data = downsample_half(data)
+
     if TRAINER == "b":
         cfg = dataclasses.replace(
             TrainConfig.trainer_b(),
@@ -296,6 +338,12 @@ def main():
             device_cache=True,
             ckpt_dir=CKPT_DIR,
         )
+        if FAST:
+            # Half-res grid: heat_sigma scales with the cell size so the
+            # gaussian keeps its physical footprint.
+            cfg = dataclasses.replace(
+                cfg, height=80, width=360, heat_sigma=1.25
+            )
     elif TRAINER == "a":
         cfg = dataclasses.replace(
             TrainConfig.trainer_a(),
@@ -363,10 +411,21 @@ def main():
     tag = "best" if best_meta.get("f1", 0.0) > 0.0 else "last"
     print(f"demo checkpoint: {tag} (best f1={best_meta.get('f1')})")
     variables = mgr.restore_variables(tag)
+    det_scale = 1.0
     if TRAINER == "b":
-        pipe_cfg = PipelineConfig(
-            normalize="clip", detector=DetectorConfig(peak_threshold=0.15)
-        )
+        if FAST:
+            # Opt-in fast profile: packed 80x360 descriptor + this
+            # half-res checkpoint; detections map to golden-grid
+            # coordinates by x2 (cells align exactly).
+            pipe_cfg = PipelineConfig.fast(
+                normalize="clip",
+                detector=DetectorConfig(peak_threshold=0.15),
+            )
+            det_scale = 2.0
+        else:
+            pipe_cfg = PipelineConfig(
+                normalize="clip", detector=DetectorConfig(peak_threshold=0.15)
+            )
         fn = jax.jit(build_pipeline("tiny_unet", pipe_cfg, postprocess="peaks"))
     elif TRAINER == "a":
         # trainer A: minmax normalization, sigmoid > mask_threshold 0.5,
@@ -402,7 +461,7 @@ def main():
         thrs = (0.0,) if TRAINER == "a" else (0.35, 0.2)
         for thr in thrs:
             preds = [
-                (float(r), float(s), float(v))
+                (float(r) * det_scale, float(s) * det_scale, float(v))
                 for r, s, v, ok in zip(
                     np.asarray(det.ring), np.asarray(det.sector),
                     np.asarray(det.score), np.asarray(det.valid),

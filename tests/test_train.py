@@ -676,3 +676,49 @@ def test_fit_decoupled_selection_and_biased_tracking(tmp_path):
     )
     assert final2["test_iou_biased_max"] >= final["test_iou_biased_max"] - 1e-9
     assert final2["best_epoch"] >= final["best_epoch"]
+
+
+def test_downsample_half_fast_grid():
+    """DPC_DET_FAST training-data transform (scripts/train_detector.py):
+    maxpool2x2 descriptors (the fast descriptor's exact cell contract),
+    floor-halved centers and covered-cell rows, -1 padding preserved."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "train_detector",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "train_detector.py"),
+    )
+    td = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(td)
+    from distropointclouds_tpu.train.data import ScanContextArrays
+
+    rng = np.random.default_rng(0)
+    sc = rng.normal(size=(2, 160, 720)).astype(np.float32)
+    centers = np.asarray(
+        [[[3.0, 719.0], [0.0, 0.0]], [[159.0, 400.0], [7.0, 13.0]]],
+        np.float32,
+    )
+    cells = np.full((2, 2, 4, 2), -1, np.int16)
+    cells[0, 0, :2] = [[10, 20], [11, 21]]
+    data = ScanContextArrays(
+        sc=sc,
+        centers=centers,
+        boxes=np.zeros((2, 2, 5), np.float32),
+        distance=np.zeros((2, 2), np.float32),
+        num_cells=np.asarray([[2, 0], [0, 0]], np.int32),
+        ped_valid=np.ones((2, 2), bool),
+        ids=[1, 2],
+        cells=cells,
+    )
+    half = td.downsample_half(data)
+    assert half.sc.shape == (2, 80, 360)
+    np.testing.assert_array_equal(
+        half.sc, sc.reshape(2, 80, 2, 360, 2).max(axis=(2, 4))
+    )
+    np.testing.assert_array_equal(
+        half.centers,
+        np.asarray([[[1, 359], [0, 0]], [[79, 200], [3, 6]]], np.float32),
+    )
+    np.testing.assert_array_equal(half.cells[0, 0, :2], [[5, 10], [5, 10]])
+    assert (half.cells[1] == -1).all()  # padding rows untouched
