@@ -1,0 +1,67 @@
+"""Collect the corpus-scaling curve (r4 VERDICT #3) into one artifact.
+
+Reads the detect_results.json of each scaling fold
+(runs/detector_ckpt_scaleNNNN_002160, trained by scripts/run_fold_queue.sh
+from scripts/fold_queue_r5b.txt: prefix subsets of the 2,700-scan
+v2-realism corpus mixed into the 002160 fold, fixed 240-epoch budget,
+unbiased protocol — selection by train-pooled F1, held-out 002160
+reported at the selected checkpoint) plus the base fold (size 0) and
+writes runs/corpus_scaling.json with one row per corpus size.
+
+Run after the phase-2 queue: python scripts/collect_scaling_curve.py
+"""
+
+import glob
+import json
+import os
+import re
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def row(ckpt_dir: str, size: int) -> dict:
+    path = os.path.join(ckpt_dir, "detect_results.json")
+    d = json.load(open(path))
+    vm = d["val_metrics"]
+    held = d["detect"].get("002160", {})
+    dedup = held.get("thr0.35_dedup", {})
+    return {
+        "corpus_scans": size,
+        "ckpt": os.path.relpath(ckpt_dir, REPO),
+        "test_f1": round(vm["test_f1"], 4),
+        "test_precision": round(vm["test_precision"], 4),
+        "test_recall": round(vm["test_recall"], 4),
+        "best_epoch": vm["best_epoch"],
+        "test_f1_biased_max": round(vm["test_f1_biased_max"], 4),
+        "heldout_dedup_f1@0.35": round(dedup.get("f1", 0.0), 4),
+        "heldout_dedup_recall@0.35": round(dedup.get("recall", 0.0), 4),
+    }
+
+
+def main():
+    rows = [row(os.path.join(REPO, "runs", "detector_ckpt_002160"), 0)]
+    for d in sorted(glob.glob(os.path.join(REPO, "runs",
+                                           "detector_ckpt_scale*_002160"))):
+        m = re.search(r"scale(\d+)_", d)
+        if os.path.exists(os.path.join(d, "detect_results.json")):
+            rows.append(row(d, int(m.group(1))))
+    out = {
+        "protocol": (
+            "unbiased: checkpoint selected by train-pooled F1 over the 3 "
+            "golden train scans; held-out 002160 F1 reported at that fixed "
+            "checkpoint. biased_max = max-over-epochs on the held-out scan "
+            "(pre-r5 protocol), kept as a labeled upper bound."
+        ),
+        "corpus": "runs/synthgen_scale_v2 (v2 realism, seed 20260819), "
+                  "MIX_N prefix subsets; 240 epochs each",
+        "rows": rows,
+    }
+    path = os.path.join(REPO, "runs", "corpus_scaling.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(rows, indent=2))
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -41,6 +41,13 @@ run_fold() {
     shift 3
     local name="fold_${trainer}_${val_id}"
     [ "$mix" != "-" ] && name="${name}_mix"
+    # An explicit checkpoint dir (scaling-curve / fast-profile folds)
+    # also names the log, so reruns of the same (val, trainer, mix)
+    # triple at different corpus sizes don't interleave one log file.
+    local a
+    for a in "$@"; do
+        case "$a" in DPC_DET_CKPT_DIR=*) name="$(basename "${a#*=}")" ;; esac
+    done
     local log="$LOG_DIR/${name}.log"
     local attempts=0 resume=0
     while [ $attempts -lt 5 ]; do
