@@ -19,6 +19,31 @@ import re
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def epoch_stats(ckpt_dir: str) -> dict:
+    """Median steady-state epoch time + total train wall from log.jsonl
+    (first epoch carries the XLA compile; exclude it from the median).
+    The r4 VERDICT's scaling ask includes 'data-path + train throughput
+    at the largest size' — time_s covers the full epoch: host batch
+    assembly, device_cache feed, train steps, fenced fetch."""
+    times = []
+    for line in open(os.path.join(ckpt_dir, "log.jsonl")):
+        rec = json.loads(line)
+        if "time_s" in rec:
+            # log.jsonl appends across retrains/resumes; keep only the
+            # latest run by restarting at each epoch-1 marker.
+            if rec.get("epoch") == 1:
+                times = []
+            times.append(float(rec["time_s"]))
+    if len(times) < 2:
+        return {}
+    steady = sorted(times[1:])
+    return {
+        "epoch_time_s_median": steady[len(steady) // 2],
+        "train_wall_s_total": round(sum(times), 1),
+        "epochs": len(times),
+    }
+
+
 def row(ckpt_dir: str, size: int) -> dict:
     path = os.path.join(ckpt_dir, "detect_results.json")
     d = json.load(open(path))
@@ -26,6 +51,7 @@ def row(ckpt_dir: str, size: int) -> dict:
     held = d["detect"].get("002160", {})
     dedup = held.get("thr0.35_dedup", {})
     return {
+        **epoch_stats(ckpt_dir),
         "corpus_scans": size,
         "ckpt": os.path.relpath(ckpt_dir, REPO),
         "test_f1": round(vm["test_f1"], 4),
