@@ -64,6 +64,54 @@ def row(ckpt_dir: str, size: int) -> dict:
     }
 
 
+def plot(rows):
+    """runs/corpus_scaling.png — held-out F1 vs synthetic-corpus size.
+
+    Ordinal x (0 can't sit on a log axis; sizes are the designed levels,
+    not a continuum). Two series on ONE axis, hues from a pre-validated
+    categorical palette (slots 1-2: CVD-safe adjacent pair), biased
+    upper bound as a neutral dashed reference line, recessive grid,
+    text in neutral ink."""
+    if len(rows) < 2:
+        return
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    ink, muted = "#333330", "#73726c"
+    xs = list(range(len(rows)))
+    labels = [str(r["corpus_scans"]) for r in rows]
+    fig, ax = plt.subplots(figsize=(6.4, 3.6), dpi=150)
+    ax.plot(xs, [r["test_f1"] for r in rows], color="#2a78d6",
+            linewidth=1.8, marker="o", markersize=6,
+            label="held-out F1 @0.35 (unbiased)")
+    ax.plot(xs, [r["heldout_dedup_f1@0.35"] for r in rows],
+            color="#eb6834", linewidth=1.8, marker="s", markersize=6,
+            label="end-to-end dedup F1 @0.35")
+    ax.plot(xs, [r["test_f1_biased_max"] for r in rows], color="#a8a7a0",
+            linewidth=1.2, linestyle="--", marker="", label=
+            "max-over-epochs upper bound (biased)")
+    ax.set_xticks(xs, labels)
+    ax.set_xlabel("synthetic scans mixed into the fold "
+                  "(v2 realism, held-out 002160)", color=ink)
+    ax.set_ylabel("held-out F1", color=ink)
+    ax.set_ylim(bottom=0)
+    ax.grid(axis="y", color="#e5e4df", linewidth=0.7)
+    ax.set_axisbelow(True)
+    for s in ("top", "right"):
+        ax.spines[s].set_visible(False)
+    for s in ("left", "bottom"):
+        ax.spines[s].set_color("#c9c8c2")
+    ax.tick_params(colors=muted, labelsize=9)
+    ax.legend(frameon=False, fontsize=8, labelcolor=ink, loc="upper left")
+    fig.tight_layout()
+    out = os.path.join(REPO, "runs", "corpus_scaling.png")
+    fig.savefig(out)
+    plt.close(fig)
+    print("wrote", out)
+
+
 def main():
     rows = [row(os.path.join(REPO, "runs", "detector_ckpt_002160"), 0)]
     for d in sorted(glob.glob(os.path.join(REPO, "runs",
@@ -82,6 +130,7 @@ def main():
                   "MIX_N prefix subsets; 240 epochs each",
         "rows": rows,
     }
+    plot(rows)
     path = os.path.join(REPO, "runs", "corpus_scaling.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
